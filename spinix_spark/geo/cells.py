@@ -1,0 +1,130 @@
+"""Deterministic hierarchical grid cells — the spatial join/partition key.
+
+The reference shards by H3 cells (res 1-3 as cluster shards,
+region.go:14-22); the north-star design keys joins on fine cells
+(res 7-9). The ``h3`` binding is not available in this environment, so
+this module provides an equal-angle lat/lon grid behind the same
+interface. That is safe for correctness: cell keys are only ever a
+no-false-negative prefilter before exact refinement (SURVEY.md §2B.1),
+and — unlike H3 — a floor-grid cell id is expressible as a plain SQL
+expression, so Catalyst evaluates it JVM-side with codegen (no UDF on
+the 100 TB fact side) and the DuckDB oracle can verify cell joins and
+tile rollups exactly.
+
+Cell id layout (int64): ``res * RES_STRIDE + row * ncols(res) + col``
+with row/col = floor((lat+90)/size), floor((lon+180)/size). Sizes
+halve per res; res 9 ≈ 0.01° (~1.1 km), matching the H3 res-7..9
+hint's granularity.
+
+Limitations (documented): no antimeridian wraparound (k-ring does not
+wrap in longitude); poles clamp. Golden fixtures and synthetic data
+stay mid-latitude.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+RES_STRIDE = 10**15
+
+MIN_RES = 0
+MAX_RES = 12
+
+
+def cell_size_deg(res: int) -> float:
+    """Grid edge in degrees at a resolution. res 9 → 0.01°."""
+    return 0.01 * 2.0 ** (9 - res)
+
+
+def ncols(res: int) -> int:
+    return int(math.ceil(360.0 / cell_size_deg(res)))
+
+
+class GridScheme:
+    """Grid cell helpers bound to one resolution."""
+
+    def __init__(self, res: int = 8) -> None:
+        if not (MIN_RES <= res <= MAX_RES):
+            raise ValueError(f"res out of range: {res}")
+        self.res = res
+        self.size = cell_size_deg(res)
+        self.cols = ncols(res)
+        self.base = res * RES_STRIDE
+
+    # --- numpy ----------------------------------------------------------
+
+    def cell_of(self, lat, lon) -> np.ndarray:
+        """Vectorized point → cell id (int64)."""
+        lat = np.asarray(lat, dtype=np.float64)
+        lon = np.asarray(lon, dtype=np.float64)
+        row = np.floor((lat + 90.0) / self.size).astype(np.int64)
+        col = np.floor((lon + 180.0) / self.size).astype(np.int64)
+        return self.base + row * self.cols + col
+
+    def cell_bbox(self, cell) -> np.ndarray:
+        """Cell id → (minlat, minlon, maxlat, maxlon)."""
+        cell = np.asarray(cell, dtype=np.int64) - self.base
+        row = cell // self.cols
+        col = cell % self.cols
+        minlat = row * self.size - 90.0
+        minlon = col * self.size - 180.0
+        return np.stack(
+            [minlat, minlon, minlat + self.size, minlon + self.size], axis=-1
+        )
+
+    def cover_bbox(self, minlat: float, minlon: float, maxlat: float, maxlon: float) -> list[int]:
+        """All cells overlapping a bbox (inclusive). No false negatives
+        for any geometry inside the bbox."""
+        r0 = int(math.floor((minlat + 90.0) / self.size))
+        r1 = int(math.floor((maxlat + 90.0) / self.size))
+        c0 = int(math.floor((minlon + 180.0) / self.size))
+        c1 = int(math.floor((maxlon + 180.0) / self.size))
+        return [
+            self.base + r * self.cols + c
+            for r in range(r0, r1 + 1)
+            for c in range(c0, c1 + 1)
+        ]
+
+    def cover_ring(self, ring: np.ndarray) -> list[int]:
+        """Cells covering a closed ring (bbox cover — prefilter only)."""
+        ring = np.asarray(ring, dtype=np.float64)
+        return self.cover_bbox(
+            float(ring[..., 0].min()),
+            float(ring[..., 1].min()),
+            float(ring[..., 0].max()),
+            float(ring[..., 1].max()),
+        )
+
+    def kring(self, cell: int, k: int = 1) -> list[int]:
+        """Cell plus k rings of neighbors (square neighborhood —
+        supersets the hex k-ring, so still a no-false-negative cover)."""
+        c = int(cell) - self.base
+        row, col = divmod(c, self.cols)
+        return [
+            self.base + r * self.cols + cc
+            for r in range(row - k, row + k + 1)
+            for cc in range(col - k, col + k + 1)
+        ]
+
+    def kring_for_radius(self, meters: float) -> int:
+        """Rings needed so a radius search around any point in a cell is
+        fully covered. Cell height ≈ size° × 111.32 km (width shrinks
+        with latitude, so height is the conservative bound for k)."""
+        cell_m = self.size * 111_320.0
+        return max(1, int(math.ceil(meters / cell_m)))
+
+    # --- SQL (shared by Spark Catalyst and the DuckDB oracle) ----------
+
+    def sql_cell_expr(self, lat_col: str, lon_col: str) -> str:
+        """Cell id as an ANSI-SQL expression — identical text runs in
+        Spark SQL and DuckDB, keeping the join key JVM-side (no UDF)."""
+        return (
+            f"({self.base} + CAST(FLOOR(({lat_col} + 90.0) / {self.size!r}) AS BIGINT)"
+            f" * {self.cols}"
+            f" + CAST(FLOOR(({lon_col} + 180.0) / {self.size!r}) AS BIGINT))"
+        )
+
+
+DEFAULT_SCHEME = GridScheme(res=8)
