@@ -1,0 +1,187 @@
+"""Engine driver: rule registry + per-batch detection.
+
+Set-oriented re-expression of ``Engine.Detect`` (engine.go:190-225):
+a batch of device updates is evaluated against (a) the broadcast rule
+registry with bbox/cell pruning (Rules.Walk, rule.go:229-249), and
+(b) the device-position snapshot *as of the previous batch* — the
+reference inserts each device into its index only after evaluating it
+(engine.go:218-221) — then the batch is merged into the snapshot.
+
+Rule registration replicates ``Engine.AddRule`` (engine.go:110-188):
+auto-center from referenced objects' bboxes when ``:center`` is
+missing, radius auto-expand (triple up to 10×) until the rule circle's
+bbox contains every referenced object, radius floor/clamp
+(spec.normalizeRadius, runtime.go:81-86), and an 8-step polygonized
+geofence circle whose covering cells become the prune key
+(rule.go:85-99).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from spinix_spark.dsl.compiler import (
+    CompiledSpec,
+    EqualObjectOp,
+    SpDevicesObjectOp,
+    SpObjectOp,
+    compile_spec,
+)
+from spinix_spark.engine.runtime import Reference, eval_spec
+from spinix_spark.engine.stores import DeviceSnapshot, StateStore, ZoneStore
+from spinix_spark.geo.cells import DEFAULT_SCHEME, GridScheme
+from spinix_spark.geo.geodesy import (
+    MIN_DIST_METERS,
+    haversine_scalar,
+    normalize_distance,
+    region_size_from_meters,
+)
+from spinix_spark.geo.rings import RULE_CIRCLE_STEPS, circle_ring, ring_bbox
+
+_rule_seq = itertools.count(1)
+
+
+def _new_rule_id() -> str:
+    # deterministic 20-char ids in the xid alphabet
+    n = next(_rule_seq)
+    base = "rule"
+    suffix = np.base_repr(n, 32).lower()
+    return (base + "0" * (20 - len(base) - len(suffix)) + suffix)[:20]
+
+
+@dataclass
+class Rule:
+    rule_id: str
+    spec: CompiledSpec
+    bbox: np.ndarray | None = None  # geofence circle bbox
+    cells: list[int] = field(default_factory=list)
+    ring: np.ndarray | None = None
+
+
+class Engine:
+    def __init__(self, scheme: GridScheme = DEFAULT_SCHEME) -> None:
+        self.scheme = scheme
+        self.zones = ZoneStore()
+        self.devices = DeviceSnapshot()
+        self.states = StateStore()
+        self.rules: dict[str, Rule] = {}
+
+    # --- rule registration (engine.go:110-188) --------------------------
+
+    def _referenced_object_ids(self, spec: CompiledSpec) -> list[str]:
+        ids: list[str] = []
+        for node in spec.nodes:
+            if isinstance(node, (SpObjectOp, SpDevicesObjectOp, EqualObjectOp)):
+                ids.extend(node.right.refs)
+        return ids
+
+    def add_rule(self, spec_str: str, rule_id: str | None = None) -> Rule:
+        spec = compile_spec(spec_str)
+        props = spec.props
+
+        # auto-center from referenced objects (calcCenter, engine.go:137-152)
+        if props.center_lat == 0 and props.center_lon == 0:
+            refs = self._referenced_object_ids(spec)
+            boxes = [
+                self.zones.lookup(r).bbox for r in refs if self.zones.lookup(r) is not None
+            ]
+            if not boxes:
+                raise ValueError("spinix/rule: coordinates are not specified")
+            all_b = np.stack(boxes)
+            minlat, minlon = all_b[:, 0].min(), all_b[:, 1].min()
+            maxlat, maxlon = all_b[:, 2].max(), all_b[:, 3].max()
+            props.center_lat = (minlat + maxlat) / 2.0
+            props.center_lon = (minlon + maxlon) / 2.0
+            if props.radius_m <= 0:
+                # half-diagonal so the circle spans the combined bbox
+                props.radius_m = (
+                    haversine_scalar(minlat, minlon, maxlat, maxlon) / 2.0
+                )
+
+        # radius floor + tier clamp (runtime.go:81-86)
+        if props.radius_m < MIN_DIST_METERS:
+            props.radius_m = MIN_DIST_METERS
+        size = region_size_from_meters(props.radius_m)
+        props.radius_m = normalize_distance(props.radius_m, size)
+
+        # auto-expand: triple radius up to 10 steps until circle bbox
+        # contains every referenced object (expand, engine.go:154-188)
+        refs = self._referenced_object_ids(spec)
+        boxes = [
+            self.zones.lookup(r).bbox for r in refs if self.zones.lookup(r) is not None
+        ]
+        for _ in range(10):
+            ring = circle_ring(
+                props.center_lat, props.center_lon, props.radius_m, RULE_CIRCLE_STEPS
+            )
+            bbox = ring_bbox(ring)
+            if all(
+                b[0] >= bbox[0] and b[1] >= bbox[1] and b[2] <= bbox[2] and b[3] <= bbox[3]
+                for b in boxes
+            ):
+                break
+            props.radius_m *= 3.0
+        ring = circle_ring(
+            props.center_lat, props.center_lon, props.radius_m, RULE_CIRCLE_STEPS
+        )
+        bbox = ring_bbox(ring)
+        cells = self.scheme.cover_bbox(bbox[0], bbox[1], bbox[2], bbox[3])
+
+        rid = rule_id or _new_rule_id()
+        rule = Rule(rule_id=rid, spec=spec, bbox=bbox, cells=cells, ring=ring)
+        self.rules[rid] = rule
+        return rule
+
+    def delete_rule(self, rule_id: str) -> None:
+        self.rules.pop(rule_id, None)
+        self.states.remove_by_rule(rule_id)
+
+    # --- detection ------------------------------------------------------
+
+    def walk_rules(self, lat: np.ndarray, lon: np.ndarray) -> dict[str, np.ndarray]:
+        """Rules.Walk, batch form: per rule, mask of devices whose point
+        falls inside the rule's geofence bbox (rule.go:229-249 —
+        cell lookup then R-tree bbox point query)."""
+        out = {}
+        for rid, rule in self.rules.items():
+            b = rule.bbox
+            out[rid] = (lat >= b[0]) & (lat <= b[2]) & (lon >= b[1]) & (lon <= b[3])
+        return out
+
+    def detect_batch(self, batch: pd.DataFrame) -> pd.DataFrame:
+        """Evaluate a batch against the previous snapshot, emit events,
+        then merge the batch into the snapshot."""
+        ref = Reference(zones=self.zones, devices=self.devices, states=self.states)
+        events: list[dict] = []
+        if len(batch):
+            lat = batch["lat"].to_numpy(dtype=np.float64)
+            lon = batch["lon"].to_numpy(dtype=np.float64)
+            pruned = self.walk_rules(lat, lon)
+            for rid, rule in self.rules.items():
+                mask = pruned[rid]
+                if not mask.any():
+                    continue
+                sub = batch.loc[mask].reset_index(drop=True)
+                ok, matches = eval_spec(rule.spec, sub, ref, rid)
+                for i in np.nonzero(ok)[0]:
+                    row = sub.iloc[i]
+                    events.append(
+                        {
+                            "device_id": row["device_id"],
+                            "url": row.get("url", ""),
+                            "rule_id": rid,
+                            "spec": rule.spec.source,
+                            "datetime": int(row.get("datetime", 0)),
+                            "matches": matches[i],
+                        }
+                    )
+            # evaluate-then-insert ordering (engine.go:218-221)
+            self.devices.merge_batch(batch.to_dict("records"))
+        return pd.DataFrame(
+            events,
+            columns=["device_id", "url", "rule_id", "spec", "datetime", "matches"],
+        )

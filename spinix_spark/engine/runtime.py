@@ -1,0 +1,991 @@
+"""Vectorized rule evaluation over a batch of device rows.
+
+This is the computational core shared by the local engine and the Spark
+``mapInPandas`` refinement stage: one compiled rule is evaluated
+against N device rows at once with NumPy — no per-row Python in the
+hot path (input_hint mandate).
+
+Semantics replicate the reference's evaluater implementations
+operator-for-operator (file:line cited per class below), including:
+
+- the per-candidate existential negation semantics: ``match.Ok``
+  latches true if ANY candidate satisfies the (possibly negated)
+  predicate; every satisfying candidate id is appended to
+  ``right_refs`` (runtime.go:1334-1341, 1632-1638; SURVEY.md §2A.1)
+- the device-kind × verb × zone-kind predicate truth tables
+  (runtime.go:1259-1333 for objects, 1530-1700 for devices)
+- the ``@``-candidate search-radius clamps, which are visible
+  semantics for negated verbs (runtime.go:1515-1525, devices.go:167-171)
+- the left-to-right AND/OR fold with AND-skip and per-node Match
+  capture (runtime.go:165-236)
+- the distance comparators' last-candidate-wins ``Ok`` plus
+  per-candidate ref collection (runtime.go:1795-1825 — replicated
+  bug-for-bug)
+- trigger state: check → evaluate → changeState (hits increment per
+  evaluation, not per match — runtime.go:224-235)
+
+Determinism note: the reference stamps state time with the wall clock
+(``State.SetTime(time.Now())``, runtime.go:153) but evaluates trigger
+windows against *device* time (``mapper.dateTime``). For reproducible
+distributed runs this engine uses device event-time for both by
+default; pass ``clock=`` to override.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from spinix_spark.dsl import ast_nodes as ast
+from spinix_spark.dsl.compiler import (
+    CompiledSpec,
+    EqualDevicesOp,
+    EqualFloatOp,
+    EqualIntOp,
+    EqualObjectOp,
+    EqualStrOp,
+    EqualTimeOp,
+    InFloatOp,
+    InIntOp,
+    InStringOp,
+    RangeDateTimeOp,
+    RangeFloatOp,
+    RangeIntOp,
+    RangeTimeOp,
+    SpDDevicesOp,
+    SpDevicesObjectOp,
+    SpDevicesOp,
+    SpObjectOp,
+)
+from spinix_spark.dsl.tokens import Token
+from spinix_spark.engine.stores import DeviceSnapshot, StateStore, Zone, ZoneStore
+from spinix_spark.geo.geodesy import (
+    MIN_DIST_METERS,
+    SMALL_REGION_SIZE,
+    SMALL_REGION_THRESHOLD_M,
+    TINY_REGION_SIZE,
+    TINY_REGION_THRESHOLD_M,
+    haversine_m,
+    normalize_distance,
+    round_to_unit,
+)
+from spinix_spark.geo.predicates import (
+    line_intersects_ring,
+    point_on_line,
+    points_equal,
+    points_in_ring,
+    rect_contains_point,
+    rect_contains_rect,
+    rect_intersects_rect,
+    ring_contains_ring,
+    ring_intersects_ring,
+)
+from spinix_spark.geo.rings import circle_ring, rect_from_center, rect_ring, ring_bbox
+
+
+@dataclass
+class Reference:
+    """Storage handles passed through evaluation (≙ the reference's
+    ``reference`` struct)."""
+
+    zones: ZoneStore
+    devices: DeviceSnapshot
+    states: StateStore
+
+
+@dataclass
+class NodeResult:
+    ok: np.ndarray  # bool (N,)
+    left_kw: Token
+    right_kw: Token
+    op: Token
+    left_is_target: bool = True  # Left.Refs = [target id] when ok
+    right_refs: list[list[str]] | None = None  # per-device satisfied refs
+
+
+class DeviceBatch:
+    """Column view over a pandas DataFrame of device rows with golden
+    defaults for absent attributes."""
+
+    _FLOAT_COLS = (
+        "speed",
+        "battery",
+        "temperature",
+        "humidity",
+        "luminosity",
+        "pressure",
+        "fuel_level",
+        "alt",
+    )
+    _STR_COLS = ("model", "brand", "owner", "imei")
+
+    def __init__(self, pdf: pd.DataFrame) -> None:
+        self.pdf = pdf
+        self.n = len(pdf)
+        self.device_id = pdf["device_id"].to_numpy(dtype=object)
+        self.layer_id = (
+            pdf["layer_id"].to_numpy(dtype=object)
+            if "layer_id" in pdf
+            else np.full(self.n, "0" * 20, dtype=object)
+        )
+        self.lat = pdf["lat"].to_numpy(dtype=np.float64)
+        self.lon = pdf["lon"].to_numpy(dtype=np.float64)
+        self.datetime = (
+            pdf["datetime"].to_numpy(dtype=np.int64)
+            if "datetime" in pdf
+            else np.zeros(self.n, dtype=np.int64)
+        )
+        self.status = (
+            pdf["status"].to_numpy(dtype=np.int64)
+            if "status" in pdf
+            else np.zeros(self.n, dtype=np.int64)
+        )
+        self._cache: dict = {}
+
+    def float_col(self, name: str) -> np.ndarray:
+        if name == "status":
+            return self.status.astype(np.float64)
+        if name in self.pdf:
+            return self.pdf[name].to_numpy(dtype=np.float64)
+        return np.zeros(self.n, dtype=np.float64)
+
+    def str_col(self, name: str) -> np.ndarray:
+        if name in self.pdf:
+            return self.pdf[name].astype(str).to_numpy(dtype=object)
+        return np.full(self.n, "", dtype=object)
+
+    def ts(self) -> pd.DatetimeIndex:
+        if "ts" not in self._cache:
+            self._cache["ts"] = pd.to_datetime(self.datetime, unit="s", utc=True)
+        return self._cache["ts"]
+
+    def rings(self, meters: float, steps: int) -> np.ndarray:
+        key = ("rings", meters, steps)
+        if key not in self._cache:
+            self._cache[key] = circle_ring(self.lat, self.lon, meters, steps)
+        return self._cache[key]
+
+
+# --- attribute value mapper (runtime.go:2126-2224) ----------------------
+
+
+def float_val(batch: DeviceBatch, kw: Token) -> np.ndarray:
+    if kw is Token.FUELLEVEL:
+        return batch.float_col("fuel_level")
+    if kw is Token.PRESSURE:
+        return batch.float_col("pressure")
+    if kw is Token.LUMINOSITY:
+        return batch.float_col("luminosity")
+    if kw is Token.HUMIDITY:
+        return batch.float_col("humidity")
+    if kw is Token.TEMPERATURE:
+        return batch.float_col("temperature")
+    if kw is Token.BATTERY_CHARGE:
+        return batch.float_col("battery")
+    if kw is Token.STATUS:
+        return batch.status.astype(np.float64)
+    if kw is Token.SPEED:
+        return batch.float_col("speed")
+    ts = batch.ts()
+    if kw is Token.YEAR:
+        return ts.year.to_numpy(dtype=np.float64)
+    if kw is Token.MONTH:
+        return ts.month.to_numpy(dtype=np.float64)
+    if kw is Token.WEEK:
+        return ts.isocalendar().week.to_numpy().astype(np.float64)
+    if kw is Token.DAY:
+        return ts.day.to_numpy(dtype=np.float64)
+    if kw is Token.HOUR:
+        return ts.hour.to_numpy(dtype=np.float64)
+    return np.zeros(batch.n, dtype=np.float64)
+
+
+def int_val(batch: DeviceBatch, kw: Token) -> np.ndarray:
+    # Go int(float64) truncates toward zero
+    return np.trunc(float_val(batch, kw)).astype(np.int64)
+
+
+def str_val(batch: DeviceBatch, kw: Token) -> np.ndarray:
+    if kw is Token.MODEL:
+        return batch.str_col("model")
+    if kw is Token.BRAND:
+        return batch.str_col("brand")
+    if kw is Token.OWNER:
+        return batch.str_col("owner")
+    if kw is Token.IMEI:
+        return batch.str_col("imei")
+    ts = batch.ts()
+    if kw is Token.MONTH:
+        return ts.strftime("%B").to_numpy(dtype=object)
+    if kw is Token.DAY:
+        return ts.strftime("%A").to_numpy(dtype=object)
+    if kw is Token.DATE:
+        return ts.strftime("%Y-%m-%d").to_numpy(dtype=object)
+    if kw is Token.DATETIME:
+        return ts.strftime("%Y-%m-%dT%H:%M:%SZ").to_numpy(dtype=object)
+    return np.full(batch.n, "", dtype=object)
+
+
+def _day_anchor(batch: DeviceBatch, hour: int, minute: int) -> np.ndarray:
+    """Unix seconds of today-at-hh:mm in UTC per device
+    (runtime.go:1904, 1044-1046)."""
+    ts = batch.ts()
+    midnight = ts.normalize().asi8 // 1_000_000_000
+    return midnight + hour * 3600 + minute * 60
+
+
+# --- zone predicates (object side of runtime.go:1259-1333) ---------------
+
+
+def zone_intersects_poly(zone: Zone, rings: np.ndarray) -> np.ndarray:
+    n = rings.shape[0]
+    out = np.zeros(n, dtype=bool)
+    for zr in zone.rings:
+        out |= ring_intersects_ring(rings, zr)
+    for zl in zone.lines:
+        out |= line_intersects_ring(zl, rings)
+    if zone.points is not None:
+        for p in np.atleast_2d(zone.points):
+            out |= points_in_ring(
+                np.full(n, p[0]), np.full(n, p[1]), rings
+            )
+    return out
+
+
+def zone_within_poly(zone: Zone, rings: np.ndarray) -> np.ndarray:
+    n = rings.shape[0]
+    out = np.ones(n, dtype=bool)
+    any_part = False
+    for zr in zone.rings:
+        out &= ring_contains_ring(rings, zr)
+        any_part = True
+    for zl in zone.lines:
+        out &= points_in_ring(zl[:, 0], zl[:, 1], rings[:, None, :, :]).all(axis=-1)
+        any_part = True
+    if zone.points is not None:
+        for p in np.atleast_2d(zone.points):
+            out &= points_in_ring(np.full(n, p[0]), np.full(n, p[1]), rings)
+            any_part = True
+    return out if any_part else np.zeros(n, dtype=bool)
+
+
+def zone_intersects_rect(zone: Zone, rect: np.ndarray) -> np.ndarray:
+    return zone_intersects_poly(zone, rect_ring(rect))
+
+
+def zone_within_rect(zone: Zone, rect: np.ndarray) -> np.ndarray:
+    # all-points-in-axis-aligned-rect ⇔ bbox within rect
+    return rect_contains_rect(rect, zone.bbox)
+
+
+def zone_intersects_point(zone: Zone, lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
+    n = lat.shape[0]
+    out = np.zeros(n, dtype=bool)
+    if zone.circle is not None:
+        clat, clon, r = zone.circle
+        return np.asarray(haversine_m(lat, lon, clat, clon) <= r)
+    for zr in zone.rings:
+        out |= points_in_ring(lat, lon, zr)
+    for zl in zone.lines:
+        out |= point_on_line(lat, lon, zl)
+    if zone.points is not None:
+        for p in np.atleast_2d(zone.points):
+            out |= points_equal(lat, lon, p[0], p[1])
+    return out
+
+
+def zone_within_point(zone: Zone, lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
+    # only a point object can be "within" a point
+    if zone.kind in ("point", "multiPoint") and zone.points is not None:
+        out = np.ones(lat.shape[0], dtype=bool)
+        for p in np.atleast_2d(zone.points):
+            out &= points_equal(lat, lon, p[0], p[1])
+        return out
+    return np.zeros(lat.shape[0], dtype=bool)
+
+
+def _zone_verb_mask(
+    zone: Zone, op: Token, kind: Token, batch: DeviceBatch, meters: float, steps: int
+) -> np.ndarray:
+    """Truth table of spObjectOp (runtime.go:1259-1333) for one zone
+    against every device in the batch."""
+    if kind is Token.RADIUS:
+        rings = batch.rings(meters, steps)
+        if op is Token.INTERSECTS:
+            return zone_intersects_poly(zone, rings)
+        if op is Token.NINTERSECTS:
+            return ~zone_intersects_poly(zone, rings)
+        if op is Token.NEAR:
+            return zone_within_poly(zone, rings) | zone_intersects_poly(zone, rings)
+        if op is Token.NNEAR:
+            return ~zone_within_poly(zone, rings) | ~zone_intersects_poly(zone, rings)
+        if op is Token.IN:
+            return zone_within_poly(zone, rings)
+        if op is Token.NIN:
+            return ~zone_within_poly(zone, rings)
+    elif kind is Token.BBOX:
+        rect = ring_bbox(batch.rings(meters, steps))
+        if op is Token.INTERSECTS:
+            return zone_intersects_rect(zone, rect)
+        if op is Token.NINTERSECTS:
+            return ~zone_intersects_rect(zone, rect)
+        if op is Token.NEAR:
+            return zone_within_rect(zone, rect) | zone_intersects_rect(zone, rect)
+        if op is Token.NNEAR:
+            return ~zone_within_rect(zone, rect) | ~zone_intersects_rect(zone, rect)
+        if op is Token.IN:
+            return zone_within_rect(zone, rect)
+        if op is Token.NIN:
+            return ~zone_within_rect(zone, rect)
+    else:  # point device
+        lat, lon = batch.lat, batch.lon
+        if op is Token.INTERSECTS:
+            return zone_intersects_point(zone, lat, lon)
+        if op is Token.NINTERSECTS:
+            return ~zone_intersects_point(zone, lat, lon)
+        if op is Token.NEAR:
+            return zone_intersects_point(zone, lat, lon) | zone_within_point(
+                zone, lat, lon
+            )
+        if op is Token.NNEAR:
+            return ~zone_intersects_point(zone, lat, lon) | ~zone_within_point(
+                zone, lat, lon
+            )
+        if op is Token.IN:
+            return zone_within_point(zone, lat, lon)
+        if op is Token.NIN:
+            return ~zone_within_point(zone, lat, lon)
+    return np.zeros(batch.n, dtype=bool)
+
+
+# --- device-vs-device predicates (runtime.go:1530-1700) ------------------
+
+
+def _dd_verb_mask(
+    op: Token,
+    target_kind: Token,
+    target_rings: np.ndarray | None,
+    batch: DeviceBatch,
+    other_kind: Token,
+    other_lat: float,
+    other_lon: float,
+    other_meters: float,
+    other_steps: int,
+) -> np.ndarray:
+    """One candidate device vs all batch targets."""
+    n = batch.n
+    if other_kind in (Token.RADIUS, Token.BBOX):
+        oring = circle_ring(other_lat, other_lon, other_meters, other_steps)
+        if other_kind is Token.RADIUS:
+            if target_rings is not None:
+                t_in = ring_intersects_ring(target_rings, oring)
+                t_cont = ring_contains_ring(target_rings, oring)
+                if op is Token.INTERSECTS:
+                    return t_in
+                if op is Token.NINTERSECTS:
+                    return ~t_in
+                if op is Token.NEAR:
+                    return t_cont | t_in
+                if op is Token.NNEAR:
+                    return ~t_cont | ~t_in
+                if op is Token.IN:
+                    return t_cont
+                if op is Token.NIN:
+                    return ~t_cont
+            else:
+                pin = points_in_ring(batch.lat, batch.lon, oring)
+                if op in (Token.INTERSECTS, Token.NEAR):
+                    return pin
+                if op in (Token.NINTERSECTS,):
+                    return ~pin
+                if op is Token.NNEAR:
+                    return ~pin | ~pin
+                if op is Token.IN:
+                    return pin
+                if op is Token.NIN:
+                    return ~pin
+        else:  # other BBOX
+            if target_rings is not None:
+                trect = ring_bbox(target_rings)
+                orect = ring_bbox(oring)
+                o_x_t = zone_like_ring_intersects_rect(oring, trect)
+                t_cont_o = _ring_contains_rect(target_rings, orect)
+                o_cont_t = _ring_contains_rect_single(oring, trect)
+                if op is Token.INTERSECTS:
+                    return o_x_t
+                if op is Token.NINTERSECTS:
+                    return ~o_x_t
+                if op is Token.NEAR:
+                    return t_cont_o | o_x_t
+                if op is Token.NNEAR:
+                    return ~t_cont_o | ~o_x_t
+                if op is Token.IN:
+                    return o_cont_t
+                if op is Token.NIN:
+                    return ~o_cont_t
+            else:
+                pin = points_in_ring(batch.lat, batch.lon, oring)
+                if op in (Token.INTERSECTS, Token.NEAR, Token.IN):
+                    return pin
+                if op in (Token.NINTERSECTS, Token.NIN):
+                    return ~pin
+                if op is Token.NNEAR:
+                    return ~pin
+    else:  # other is a point
+        if target_rings is not None:
+            pin = points_in_ring(
+                np.full(n, other_lat), np.full(n, other_lon), target_rings
+            )
+            if op in (Token.INTERSECTS, Token.NEAR, Token.IN):
+                return pin
+            if op in (Token.NINTERSECTS, Token.NIN):
+                return ~pin
+            if op is Token.NNEAR:
+                return ~pin
+        else:
+            eq = points_equal(batch.lat, batch.lon, other_lat, other_lon)
+            if op in (Token.INTERSECTS, Token.NEAR, Token.IN):
+                return eq
+            if op in (Token.NINTERSECTS, Token.NIN):
+                return ~eq
+            if op is Token.NNEAR:
+                return ~eq
+    return np.zeros(n, dtype=bool)
+
+
+def zone_like_ring_intersects_rect(oring: np.ndarray, rect: np.ndarray) -> np.ndarray:
+    """One candidate ring (S, 2) vs per-target rects (N, 4)."""
+    return ring_intersects_ring(rect_ring(rect), oring)
+
+
+def _ring_contains_rect(rings: np.ndarray, rect: np.ndarray) -> np.ndarray:
+    """Per-target rings (N, S, 2) contain one rect (4,)."""
+    return ring_contains_ring(rings, rect_ring(rect))
+
+
+def _ring_contains_rect_single(ring: np.ndarray, rects: np.ndarray) -> np.ndarray:
+    """One ring (S, 2) contains per-target rects (N, 4)."""
+    return ring_contains_ring(ring, rect_ring(rects))
+
+
+# --- node evaluation -----------------------------------------------------
+
+
+def _clamp_all_negated(op: Token, meters: float) -> float:
+    """Search-radius bump for negated verbs with ``@`` candidates
+    (runtime.go:1515-1525 — sequential ifs, replicated exactly)."""
+    if meters < TINY_REGION_THRESHOLD_M:
+        meters = TINY_REGION_THRESHOLD_M
+    if meters > TINY_REGION_THRESHOLD_M:
+        meters = SMALL_REGION_THRESHOLD_M
+    return meters
+
+
+def _eval_sp_object(
+    node: SpObjectOp, batch: DeviceBatch, ref: Reference, layer: str
+) -> NodeResult:
+    n = batch.n
+    ok = np.zeros(n, dtype=bool)
+    refs: list[list[str]] = [[] for _ in range(n)]
+    layer_ok = batch.layer_id == layer
+    meters = node.left.meters()
+    steps = node.left.steps()
+    kind = node.left.kind
+
+    if node.right.refs and not node.right.all:
+        candidates: list[Zone] = []
+        for rid in node.right.refs:
+            z = ref.zones.lookup(rid)
+            if z is not None and z.layer_id == layer:
+                candidates.append(z)
+        for z in candidates:
+            mask = _zone_verb_mask(z, node.op, kind, batch, meters, steps) & layer_ok
+            ok |= mask
+            for i in np.nonzero(mask)[0]:
+                refs[i].append(z.object_id)
+    elif node.right.all and not node.right.refs:
+        # ``@``: per-device candidate universe = Objects.Near's bbox
+        # prefilter (object.go:115-151) — vectorized: one pass per zone
+        # with a per-device candidacy mask, no per-row Python.
+        search_m = (
+            MIN_DIST_METERS
+            if meters <= 0
+            else normalize_distance(meters, SMALL_REGION_SIZE)
+        )
+        rects = rect_from_center(batch.lat, batch.lon, search_m)  # (N, 4)
+        for z in ref.zones.all_zones():
+            if z.layer_id != layer:
+                continue
+            cand = rect_intersects_rect(rects, z.bbox)
+            if not cand.any():
+                continue
+            mask = cand & layer_ok & _zone_verb_mask(z, node.op, kind, batch, meters, steps)
+            ok |= mask
+            for i in np.nonzero(mask)[0]:
+                refs[i].append(z.object_id)
+    return NodeResult(
+        ok=ok,
+        left_kw=Token.DEVICE,
+        right_kw=node.right.kind,
+        op=node.op,
+        right_refs=refs,
+    )
+
+
+def _eval_sp_devices(
+    node: SpDevicesOp,
+    batch: DeviceBatch,
+    ref: Reference,
+    layer: str,
+    member_mask: np.ndarray | None = None,
+) -> NodeResult:
+    n = batch.n
+    ok = np.zeros(n, dtype=bool)
+    refs: list[list[str]] = [[] for _ in range(n)]
+    layer_ok = batch.layer_id == layer
+    active = layer_ok if member_mask is None else (layer_ok & member_mask)
+
+    target_meters = node.left.meters()
+    t_kind = node.left.kind
+    target_rings = (
+        batch.rings(target_meters, node.left.steps())
+        if t_kind in (Token.RADIUS, Token.BBOX)
+        else None
+    )
+    other_kind = (
+        node.right.kind if node.right.kind in (Token.RADIUS, Token.BBOX) else Token.DEVICE
+    )
+    other_meters = node.right.meters()
+    other_steps = node.right.steps()
+
+    if node.right.refs and not node.right.all:
+        for rid in node.right.refs:
+            other = ref.devices.lookup(rid)
+            if other is None:
+                continue
+            cand_layer_ok = batch.layer_id == other.get("layer_id", "0" * 20)
+            mask = (
+                _dd_verb_mask(
+                    node.op,
+                    t_kind,
+                    target_rings,
+                    batch,
+                    other_kind,
+                    other["lat"],
+                    other["lon"],
+                    other_meters,
+                    other_steps,
+                )
+                & active
+                & cand_layer_ok
+            )
+            ok |= mask
+            for i in np.nonzero(mask)[0]:
+                refs[i].append(rid)
+    elif node.right.all and not node.right.refs:
+        # ``@``: candidate universe = Devices.Near's bbox prefilter
+        # (devices.go:166-199) with the negated-verb radius bump —
+        # vectorized one pass per snapshot device.
+        search_meters = target_meters
+        if node.op in (Token.NINTERSECTS, Token.NNEAR):
+            search_meters = _clamp_all_negated(node.op, search_meters)
+        search_m = (
+            MIN_DIST_METERS
+            if search_meters <= 0
+            else normalize_distance(search_meters, TINY_REGION_SIZE)
+        )
+        rects = rect_from_center(batch.lat, batch.lon, search_m)  # (N, 4)
+        for other in ref.devices.all_devices():
+            cand = rect_contains_point(rects, other["lat"], other["lon"])
+            cand &= active
+            cand &= batch.layer_id == other.get("layer_id", "0" * 20)
+            if not cand.any():
+                continue
+            mask = cand & _dd_verb_mask(
+                node.op,
+                t_kind,
+                target_rings,
+                batch,
+                other_kind,
+                other["lat"],
+                other["lon"],
+                other_meters,
+                other_steps,
+            )
+            ok |= mask
+            for i in np.nonzero(mask)[0]:
+                refs[i].append(other["device_id"])
+    return NodeResult(
+        ok=ok,
+        left_kw=Token.DEVICE,
+        right_kw=Token.DEVICES,
+        op=node.op,
+        right_refs=refs,
+    )
+
+
+def _membership(batch: DeviceBatch, refs: list[str]) -> np.ndarray:
+    if not refs:
+        return np.zeros(batch.n, dtype=bool)
+    return np.isin(batch.device_id.astype(str), refs)
+
+
+def _devices_lit_to_device_lit(lit: ast.DevicesLit) -> ast.DeviceLit:
+    return ast.DeviceLit(kind=lit.kind, unit=lit.unit, value=lit.value)
+
+
+def _eval_sp_ddevices(
+    node: SpDDevicesOp, batch: DeviceBatch, ref: Reference, layer: str
+) -> NodeResult:
+    left_ok = _membership(batch, node.left.refs)
+    right_ok = _membership(batch, node.right.refs)
+    both = left_ok & right_ok
+    neither = ~left_ok & ~right_ok
+    excluded = both | neither
+    out = NodeResult(
+        ok=np.zeros(batch.n, dtype=bool),
+        left_kw=Token.DEVICE,
+        right_kw=Token.DEVICES,
+        op=node.op,
+        right_refs=[[] for _ in range(batch.n)],
+    )
+    if node.left.all and node.right.all:
+        return out
+
+    def run(member: np.ndarray, left_lit: ast.DevicesLit, right_lit: ast.DevicesLit):
+        member = member & ~excluded
+        if not member.any():
+            return
+        sub_op = SpDevicesOp(
+            left=_devices_lit_to_device_lit(left_lit), right=right_lit, op=node.op
+        )
+        res = _eval_sp_devices(sub_op, batch, ref, layer, member_mask=member)
+        out.ok |= res.ok
+        for i in np.nonzero(res.ok)[0]:
+            out.right_refs[i] = res.right_refs[i]
+
+    # devices(@) OP devices(my) → swap (runtime.go:1393-1398)
+    if node.left.all:
+        run(right_ok, node.right, node.left)
+        return out
+    run(left_ok, node.left, node.right)
+    if not node.right.all:
+        run(right_ok & ~left_ok, node.right, node.left)
+    return out
+
+
+def _eval_sp_devices_object(
+    node: SpDevicesObjectOp, batch: DeviceBatch, ref: Reference, layer: str
+) -> NodeResult:
+    member = _membership(batch, node.left.refs)
+    sub_op = SpObjectOp(
+        left=_devices_lit_to_device_lit(node.left), right=node.right, op=node.op
+    )
+    res = _eval_sp_object(sub_op, batch, ref, layer)
+    res.ok &= member
+    res.right_refs = [
+        r if m else [] for r, m in zip(res.right_refs, member)
+    ]
+    return res
+
+
+_CMP = {
+    Token.EQ: lambda a, b: a == b,
+    Token.LT: lambda a, b: a < b,
+    Token.GT: lambda a, b: a > b,
+    Token.NE: lambda a, b: a != b,
+    Token.LTE: lambda a, b: a <= b,
+    Token.GTE: lambda a, b: a >= b,
+}
+
+
+def _eval_equal_object(
+    node: EqualObjectOp, batch: DeviceBatch, ref: Reference
+) -> NodeResult:
+    n = batch.n
+    ok = np.zeros(n, dtype=bool)
+    refs: list[list[str]] = [[] for _ in range(n)]
+    cmp = _CMP[node.op]
+    target = node.left.meters()
+    # last-candidate-wins Ok, per-candidate ref append (runtime.go:1795-1825)
+    for rid in node.right.refs:
+        z = ref.zones.lookup(rid)
+        if z is None:
+            continue
+        clat, clon = z.center()
+        distance = round_to_unit(haversine_m(batch.lat, batch.lon, clat, clon), MIN_DIST_METERS)
+        mask = np.asarray(cmp(distance, target))
+        ok = mask  # overwritten, not latched
+        for i in np.nonzero(mask)[0]:
+            refs[i].append(rid)
+    return NodeResult(
+        ok=ok,
+        left_kw=Token.DEVICE,
+        right_kw=node.right.kind,
+        op=node.op,
+        right_refs=refs,
+    )
+
+
+def _eval_equal_devices(
+    node: EqualDevicesOp, batch: DeviceBatch, ref: Reference
+) -> NodeResult:
+    n = batch.n
+    ok = np.zeros(n, dtype=bool)
+    refs: list[list[str]] = [[] for _ in range(n)]
+    cmp = _CMP[node.op]
+    target = node.left.meters()
+    for rid in node.right.refs:
+        other = ref.devices.lookup(rid)
+        if other is None:
+            continue
+        distance = round_to_unit(
+            haversine_m(batch.lat, batch.lon, other["lat"], other["lon"]),
+            MIN_DIST_METERS,
+        )
+        mask = np.asarray(cmp(distance, target))
+        ok = mask
+        for i in np.nonzero(mask)[0]:
+            refs[i].append(rid)
+    return NodeResult(
+        ok=ok,
+        left_kw=Token.DEVICE,
+        right_kw=Token.DEVICES,
+        op=node.op,
+        right_refs=refs,
+    )
+
+
+def eval_node(node, batch: DeviceBatch, ref: Reference, layer: str) -> NodeResult:
+    if isinstance(node, SpObjectOp):
+        return _eval_sp_object(node, batch, ref, layer)
+    if isinstance(node, SpDevicesOp):
+        return _eval_sp_devices(node, batch, ref, layer)
+    if isinstance(node, SpDDevicesOp):
+        return _eval_sp_ddevices(node, batch, ref, layer)
+    if isinstance(node, SpDevicesObjectOp):
+        return _eval_sp_devices_object(node, batch, ref, layer)
+    if isinstance(node, EqualObjectOp):
+        return _eval_equal_object(node, batch, ref)
+    if isinstance(node, EqualDevicesOp):
+        return _eval_equal_devices(node, batch, ref)
+    if isinstance(node, EqualIntOp):
+        return NodeResult(
+            ok=np.asarray(_CMP[node.op](int_val(batch, node.keyword), node.value)),
+            left_kw=node.keyword,
+            right_kw=Token.INT,
+            op=node.op,
+        )
+    if isinstance(node, EqualFloatOp):
+        return NodeResult(
+            ok=np.asarray(_CMP[node.op](float_val(batch, node.keyword), node.value)),
+            left_kw=node.keyword,
+            right_kw=Token.FLOAT,
+            op=node.op,
+        )
+    if isinstance(node, EqualStrOp):
+        vals = str_val(batch, node.keyword)
+        cmp = _CMP[node.op]
+        ok = np.array([bool(cmp(v, node.value)) for v in vals])
+        return NodeResult(ok=ok, left_kw=node.keyword, right_kw=Token.STRING, op=node.op)
+    if isinstance(node, EqualTimeOp):
+        bound = _day_anchor(batch, node.hour, node.minute)
+        return NodeResult(
+            ok=np.asarray(_CMP[node.op](batch.datetime, bound)),
+            left_kw=node.keyword,
+            right_kw=Token.TIME,
+            op=node.op,
+        )
+    if isinstance(node, InIntOp):
+        found = np.isin(int_val(batch, node.keyword), list(node.values))
+        return NodeResult(
+            ok=~found if node.negate else found,
+            left_kw=node.keyword,
+            right_kw=Token.INT,
+            op=Token.NIN if node.negate else Token.IN,
+        )
+    if isinstance(node, InFloatOp):
+        found = np.isin(float_val(batch, node.keyword), list(node.values))
+        return NodeResult(
+            ok=~found if node.negate else found,
+            left_kw=node.keyword,
+            right_kw=Token.FLOAT,
+            op=Token.NIN if node.negate else Token.IN,
+        )
+    if isinstance(node, InStringOp):
+        found = np.isin(str_val(batch, node.keyword).astype(str), list(node.values))
+        return NodeResult(
+            ok=~found if node.negate else found,
+            left_kw=node.keyword,
+            right_kw=Token.STRING,
+            op=Token.NIN if node.negate else Token.IN,
+        )
+    if isinstance(node, RangeIntOp):
+        v = int_val(batch, node.keyword)
+        ok = (
+            (v <= node.begin) | (v >= node.end)
+            if node.negate
+            else (v >= node.begin) & (v <= node.end)
+        )
+        return NodeResult(
+            ok=ok,
+            left_kw=node.keyword,
+            right_kw=Token.INT,
+            op=Token.NRANGE if node.negate else Token.RANGE,
+        )
+    if isinstance(node, RangeFloatOp):
+        v = float_val(batch, node.keyword)
+        ok = (
+            (v <= node.begin) | (v >= node.end)
+            if node.negate
+            else (v >= node.begin) & (v <= node.end)
+        )
+        return NodeResult(
+            ok=ok,
+            left_kw=node.keyword,
+            right_kw=Token.FLOAT,
+            op=Token.NRANGE if node.negate else Token.RANGE,
+        )
+    if isinstance(node, RangeTimeOp):
+        d1 = _day_anchor(batch, node.begin_h, node.begin_m)
+        d2 = _day_anchor(batch, node.end_h, node.end_m)
+        v = batch.datetime
+        ok = (v <= d1) | (v >= d2) if node.negate else (v >= d1) & (v <= d2)
+        return NodeResult(
+            ok=ok,
+            left_kw=node.keyword,
+            right_kw=Token.TIME,
+            op=Token.NRANGE if node.negate else Token.RANGE,
+        )
+    if isinstance(node, RangeDateTimeOp):
+        v = batch.datetime
+        ok = (
+            (v <= node.begin_unix) | (v >= node.end_unix)
+            if node.negate
+            else (v >= node.begin_unix) & (v <= node.end_unix)
+        )
+        return NodeResult(
+            ok=ok,
+            left_kw=node.keyword,
+            right_kw=Token.DATETIME,
+            op=Token.NRANGE if node.negate else Token.RANGE,
+        )
+    raise TypeError(f"unknown node type: {type(node)!r}")
+
+
+# --- spec evaluation (fold + trigger state, runtime.go:133-236) ----------
+
+
+def eval_spec(
+    spec: CompiledSpec,
+    batch_pdf: pd.DataFrame,
+    ref: Reference,
+    rule_id: str,
+    clock=None,
+) -> tuple[np.ndarray, list[list[dict]]]:
+    """Evaluate one compiled rule against a batch.
+
+    Returns (ok bool (N,), matches per device) where each match is a
+    dict (ok, left_kw, right_kw, op, left_refs, right_refs) — the
+    golden comparison tuple of assertRuntimeTestCase
+    (runtime_test.go:196-237).
+    """
+    batch = DeviceBatch(batch_pdf)
+    n = batch.n
+    matches: list[list[dict]] = [[] for _ in range(n)]
+    if n == 0 or not spec.nodes:
+        return np.zeros(0, dtype=bool), matches
+
+    layer_ok = batch.layer_id == spec.props.layer
+
+    # trigger gate (stateful)
+    trigger_ok = np.ones(n, dtype=bool)
+    states: list[dict | None] = [None] * n
+    if spec.is_stateful:
+        for i in range(n):
+            if not layer_ok[i]:
+                continue
+            st = ref.states.lookup_or_make(str(batch.device_id[i]), rule_id)
+            now = int(clock(batch, i)) if clock else int(batch.datetime[i])
+            if now > 0:
+                st["now"] = now
+            # NeedReset (state.go:199-211)
+            need = (
+                spec.props.reset_interval_s == 0
+                or st["last_reset"] == 0
+                or (st["now"] - st["last_reset"]) >= int(spec.props.reset_interval_s)
+            )
+            if need:
+                st["last_seen"] = 0
+                st["hits"] = 0
+                st["last_reset"] = st["now"]
+            trigger_ok[i] = _check_trigger(spec, st)
+            states[i] = st
+
+    node_results = [eval_node(node, batch, ref, spec.props.layer) for node in spec.nodes]
+
+    # left-to-right fold with AND-skip (runtime.go:186-231)
+    acc = node_results[0].ok & layer_ok
+    recorded = [np.ones(n, dtype=bool)]
+    for i in range(1, len(node_results)):
+        op = spec.ops[i - 1]
+        if op is Token.AND:
+            active = acc.copy()
+            recorded.append(active)
+            acc = acc & node_results[i].ok
+        else:
+            recorded.append(np.ones(n, dtype=bool))
+            acc = acc | node_results[i].ok
+
+    final_ok = acc & layer_ok & trigger_ok
+
+    for i in range(n):
+        if not layer_ok[i] or not trigger_ok[i]:
+            continue
+        for j, res in enumerate(node_results):
+            if recorded[j][i] and res.ok[i]:
+                matches[i].append(
+                    {
+                        "ok": True,
+                        "left_kw": str(res.left_kw),
+                        "right_kw": str(res.right_kw),
+                        "op": str(res.op),
+                        "left_refs": [str(batch.device_id[i])]
+                        if res.left_is_target
+                        else [],
+                        "right_refs": list(res.right_refs[i])
+                        if res.right_refs is not None
+                        else [],
+                    }
+                )
+
+    # changeState after evaluation, regardless of match (runtime.go:224-235)
+    if spec.is_stateful:
+        for i in range(n):
+            st = states[i]
+            if st is None or not trigger_ok[i]:
+                continue
+            st["last_seen"] = st["now"]
+            if spec.props.repeat in (ast.REPEAT_TIMES, ast.REPEAT_ONCE):
+                st["hits"] += 1
+            ref.states.update(st)
+
+    return final_ok, matches
+
+
+def _check_trigger(spec: CompiledSpec, st: dict) -> bool:
+    """checkTrigger (runtime.go:111-131)."""
+    repeat = spec.props.repeat
+    if repeat == ast.REPEAT_EVERY:
+        if st["last_seen"] == 0:
+            return True
+        return (st["now"] - st["last_reset"]) > int(spec.props.delay_s)
+    if repeat == ast.REPEAT_TIMES:
+        if (st["now"] - st["last_seen"]) < int(spec.props.interval_s):
+            return False
+        return st["hits"] < spec.props.times
+    if repeat == ast.REPEAT_ONCE:
+        return st["hits"] == 0
+    return True
