@@ -1,0 +1,55 @@
+"""Geoparse: extract coordinates from page text — entirely JVM-side.
+
+The extraction is a Catalyst ``regexp_extract`` + cast (whole-stage
+codegen; no Python UDF on the 100 TB scan path), and the ``text``
+column passes through *untouched* — the byte-identical-text-per-url
+invariant (BASELINE.json input_hint) holds by construction and is
+asserted in tests.
+
+The reference has no geoparse stage (devices arrive as structured
+updates); this is the graft's ingestion front — every page with a
+recoverable ``located at <lat>, <lon>`` pair becomes a device update
+(devices.go:27-48 schema), with the url as provenance and the page
+device-id carrier parsed from the url path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+COORD_RE = r"located at (-?\d+(?:\.\d+)?(?:[eE]-?\d+)?), (-?\d+(?:\.\d+)?(?:[eE]-?\d+)?)"
+_NUM = r"(-?\d+(?:\.\d+)?(?:[eE]-?\d+)?)"
+SPEED_RE = r" speed " + _NUM
+
+
+def geoparse_points(pages: DataFrame) -> DataFrame:
+    """pages (url, warc_ts, html, text, lang) → device-update rows.
+
+    Output columns: url, device_id, layer_id, lat, lon, datetime,
+    speed, status, text (byte-identical passthrough). Rows without a
+    coordinate pair are dropped (filter pushes to the scan).
+    """
+    lat = F.regexp_extract("text", COORD_RE, 1)
+    lon = F.regexp_extract("text", COORD_RE, 2)
+    device_id = F.regexp_extract("url", r"https?://[^/]+/([0-9a-v]{20})/", 1)
+    speed = F.regexp_extract("text", SPEED_RE, 1)
+    return (
+        pages.select(
+            "url",
+            device_id.alias("device_id"),
+            F.lit("0" * 20).alias("layer_id"),
+            lat.cast("double").alias("lat"),
+            lon.cast("double").alias("lon"),
+            F.unix_timestamp("warc_ts").alias("datetime"),
+            F.when(speed == "", None).otherwise(speed).cast("double").alias("speed"),
+            F.lit(0).cast("int").alias("status"),
+            "text",
+        )
+        .where(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+    )
+
+
+def cell_column(scheme, lat_col: str = "lat", lon_col: str = "lon") -> Column:
+    """Grid cell id as a Catalyst expression (JVM-side, codegen)."""
+    return F.expr(scheme.sql_cell_expr(lat_col, lon_col))
