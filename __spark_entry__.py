@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator family from
+SURVEY.md §2 re-expressed over the driver's pre-registered parquet
+tables; ``oracle_sql()`` carries the DuckDB-equivalent SQL per query
+(generated from the same constants as the Spark side — see
+spinix_spark/queries_*.py). ``entry`` runs the flagship geo pipeline:
+derived device points → golden-polygon spatial join → match rows.
 """
 
 from __future__ import annotations
@@ -13,26 +14,28 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from spinix_spark.queries_ann import ANN_QUERIES
+from spinix_spark.queries_geo import GEO_QUERIES
+from spinix_spark.queries_text import TEXT_QUERIES
+
+_ALL: dict[str, tuple] = {}
+_ALL.update(GEO_QUERIES)
+_ALL.update(TEXT_QUERIES)
+_ALL.update(ANN_QUERIES)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: spatial join of the
+    derived device points against the fixed pentagon geofence combined
+    with an attribute predicate — the Spark form of a Spinix rule
+    ``device INTERSECTS polygon(...) AND speed range [30 .. 120]``."""
+    fn, _ = _ALL["rule_composite"]
+    return fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _ALL.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in _ALL.items() if sql is not None}

@@ -40,8 +40,13 @@ def haversine_sql(lat_a: str, lon_a: str, lat_b: str, lon_b: str) -> str:
 
 def round50_sql(expr: str, unit: float = 50.0) -> str:
     """Half-away-from-zero rounding to 50 m (runtime.go:2226-2228);
-    FLOOR(x/u + 0.5)*u matches Go math.Round for non-negative x."""
-    return f"(FLOOR({expr} / {unit!r} + 0.5) * {unit!r})"
+    FLOOR(x/u + 0.5)*u matches Go math.Round for non-negative x.
+
+    The unit is CAST to DOUBLE: Spark parses a bare ``50.0`` literal as
+    DECIMAL(3,1), which would silently turn the product into a decimal
+    and break cross-engine value parity."""
+    u = f"CAST({unit!r} AS DOUBLE)"
+    return f"(FLOOR({expr} / {u} + 0.5) * {u})"
 
 
 def point_in_ring_sql(lat_col: str, lon_col: str, ring: Sequence[tuple[float, float]]) -> str:

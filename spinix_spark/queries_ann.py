@@ -1,0 +1,161 @@
+"""Similarity search over the ``embeddings`` table.
+
+- ``ann_brute_topk``: exact cosine top-k against a fixed query vector —
+  the correctness baseline. The dot product is a *left fold in array
+  order* on doubles in both engines (Spark ``aggregate(zip_with(...))``,
+  DuckDB ``list_reduce``), so the float sums are bit-identical
+  (IEEE-754 addition is deterministic given identical order).
+- ``ann_lsh_bucket``: the scale path — sign-bucket LSH on the first 8
+  dimensions; candidates share the query's bucket, ranked by exact
+  cosine within. At 100 TB the bucket column is a shuffle/partition key
+  (equi-join instead of a cross join).
+- ``embed_neardup_pairs``: embedding-cosine near-duplicate detection —
+  bucketed self-join refined by exact cosine; oracle is the O(n²) join
+  over a bounded id range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spinix_spark.io.derive import load_tables
+
+DIM = 64
+SIGN_DIMS = 8
+TOPK = 10
+NEARDUP_T = 0.3
+NEARDUP_SCOPE = 300
+
+# fixed deterministic query vector
+QVEC = [((i * 37) % 19 - 9) / 10.0 for i in range(DIM)]
+
+
+def _spark_arr(vals) -> str:
+    return "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
+
+
+def _duck_arr(vals) -> str:
+    return "[" + ", ".join(f"{v!r}" for v in vals) + "]::DOUBLE[]"
+
+
+def _spark_dot(vec_col: str, arr_sql: str) -> str:
+    return (
+        f"aggregate(zip_with({vec_col}, {arr_sql}, "
+        "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _duck_dot(vec_col: str, arr_sql: str) -> str:
+    # list_reduce folds left; seed the fold with an explicit leading 0.0
+    # so the reduction order matches Spark's aggregate exactly
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform("
+        f"generate_series(1, {DIM}), i -> CAST({vec_col}[i] AS DOUBLE) * ({arr_sql})[i])), "
+        "(a, b) -> a + b)"
+    )
+
+
+def _spark_norm(vec_col: str) -> str:
+    return (
+        f"SQRT(aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+
+
+def _duck_norm(vec_col: str) -> str:
+    return (
+        f"SQRT(list_reduce(list_prepend(0.0, list_transform("
+        f"generate_series(1, {DIM}), i -> CAST({vec_col}[i] AS DOUBLE) * CAST({vec_col}[i] AS DOUBLE))), "
+        "(a, b) -> a + b))"
+    )
+
+
+_QNORM = sum(v * v for v in QVEC) ** 0.5
+
+
+def _cos_spark(vec_col: str) -> str:
+    return f"({_spark_dot(vec_col, _spark_arr(QVEC))} / ({_spark_norm(vec_col)} * {_QNORM!r}))"
+
+
+def _cos_duck(vec_col: str) -> str:
+    return f"({_duck_dot(vec_col, _duck_arr(QVEC))} / ({_duck_norm(vec_col)} * {_QNORM!r}))"
+
+
+def _bucket_expr(vec_col: str, one_based: bool) -> str:
+    parts = []
+    for i in range(SIGN_DIMS):
+        idx = f"{vec_col}[{i + 1}]" if one_based else f"{vec_col}[{i}]"
+        parts.append(f"(CASE WHEN {idx} >= 0 THEN '1' ELSE '0' END)")
+    return "CONCAT(" + ", ".join(parts) + ")"
+
+
+QUERY_BUCKET = "".join("1" if QVEC[i] >= 0 else "0" for i in range(SIGN_DIMS))
+
+
+def _mk(spark_sql: str, duck_sql: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_tables(spark, sf_dir, ["embeddings"])
+        return spark.sql(spark_sql)
+
+    return fn, duck_sql
+
+
+Q_TOPK_SPARK = (
+    f"SELECT vec_id, ROUND({_cos_spark('embedding')}, 8) AS cos_sim FROM embeddings "
+    f"ORDER BY {_cos_spark('embedding')} DESC, vec_id LIMIT {TOPK}"
+)
+Q_TOPK_DUCK = (
+    f"SELECT vec_id, ROUND({_cos_duck('embedding')}, 8) AS cos_sim FROM embeddings "
+    f"ORDER BY {_cos_duck('embedding')} DESC, vec_id LIMIT {TOPK}"
+)
+
+Q_LSH_SPARK = (
+    f"SELECT vec_id, ROUND({_cos_spark('embedding')}, 8) AS cos_sim "
+    f"FROM embeddings WHERE {_bucket_expr('embedding', False)} = '{QUERY_BUCKET}' "
+    f"ORDER BY {_cos_spark('embedding')} DESC, vec_id LIMIT {TOPK}"
+)
+Q_LSH_DUCK = (
+    f"SELECT vec_id, ROUND({_cos_duck('embedding')}, 8) AS cos_sim "
+    f"FROM embeddings WHERE {_bucket_expr('embedding', True)} = '{QUERY_BUCKET}' "
+    f"ORDER BY {_cos_duck('embedding')} DESC, vec_id LIMIT {TOPK}"
+)
+
+
+def _pair_cos(spark_side: bool) -> str:
+    dot = (
+        "aggregate(zip_with(a.embedding, b.embedding, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        if spark_side
+        else (
+            f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {DIM}), "
+            "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), "
+            "(x, y) -> x + y)"
+        )
+    )
+    na = _spark_norm("a.embedding") if spark_side else _duck_norm("a.embedding")
+    nb = _spark_norm("b.embedding") if spark_side else _duck_norm("b.embedding")
+    return f"({dot} / ({na} * {nb}))"
+
+
+Q_NEARDUP_SPARK = (
+    f"SELECT a.vec_id AS a_id, b.vec_id AS b_id, ROUND({_pair_cos(True)}, 8) AS cos_sim "
+    f"FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    f"AND {_bucket_expr('a.embedding', False)} = {_bucket_expr('b.embedding', False)} "
+    f"WHERE a.vec_id < {NEARDUP_SCOPE} AND b.vec_id < {NEARDUP_SCOPE} "
+    f"AND {_pair_cos(True)} >= {NEARDUP_T!r}"
+)
+Q_NEARDUP_DUCK = (
+    f"SELECT a.vec_id AS a_id, b.vec_id AS b_id, ROUND({_pair_cos(False)}, 8) AS cos_sim "
+    f"FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    f"AND {_bucket_expr('a.embedding', True)} = {_bucket_expr('b.embedding', True)} "
+    f"WHERE a.vec_id < {NEARDUP_SCOPE} AND b.vec_id < {NEARDUP_SCOPE} "
+    f"AND {_pair_cos(False)} >= {NEARDUP_T!r}"
+)
+
+
+ANN_QUERIES: dict[str, tuple] = {
+    "ann_brute_topk": _mk(Q_TOPK_SPARK, Q_TOPK_DUCK),
+    "ann_lsh_bucket": _mk(Q_LSH_SPARK, Q_LSH_DUCK),
+    "embed_neardup_pairs": _mk(Q_NEARDUP_SPARK, Q_NEARDUP_DUCK),
+}

@@ -1,0 +1,205 @@
+"""Geospatial query registry: Spark implementation + DuckDB oracle SQL.
+
+Most geo queries are *shared-SQL*: one ANSI expression tree (built from
+the same Python constants via geo/sqlgen.py) runs on both engines, so
+the Spark side stays in whole-stage codegen while the oracle verifies
+values bit-for-bit. ``device_near_device`` is the exception — the
+Spark side is the scale plan (grid-cell k-ring expansion equi-join +
+exact haversine refine, the set-oriented form of spDevicesOp's
+``Devices.Near`` candidate scan, devices.go:166-199) while the oracle
+is the brute-force O(n²) join; agreement proves the cell cover has no
+false negatives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spinix_spark.geo.cells import GridScheme
+from spinix_spark.geo.rings import circle_ring
+from spinix_spark.geo.sqlgen import (
+    bbox_contains_sql,
+    haversine_sql,
+    point_in_ring_sql,
+    round50_sql,
+)
+from spinix_spark.io.derive import POINTS_SELECT, load_tables
+
+SCHEME = GridScheme(res=8)
+FINE = GridScheme(res=9)
+
+# fixed golden-style geometries inside the derived-point area
+CENTER = (42.935, -72.27)
+PENTAGON = [(float(a), float(b)) for a, b in circle_ring(CENTER[0], CENTER[1], 1500.0, 5)]
+RECT = (42.915, -72.300, 42.945, -72.250)  # minlat, minlon, maxlat, maxlon
+ZONES = {
+    f"zone{i}": [
+        (float(a), float(b))
+        for a, b in circle_ring(42.920 + 0.015 * i, -72.300 + 0.02 * i, 1200.0, 6)
+    ]
+    for i in range(4)
+}
+NEAR_PAIR_METERS = 250.0
+
+_PTS = f"({POINTS_SELECT})"
+
+
+def _shared(sql: str):
+    """Query whose Spark side runs the same SQL text as the oracle."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_tables(spark, sf_dir, ["documents"])
+        return spark.sql(sql)
+
+    return fn, sql
+
+
+# --- shared-SQL queries --------------------------------------------------
+
+Q_POINTS = f"SELECT doc_id, lat, lon, speed, status, datetime FROM {_PTS} p"
+
+Q_CELL = (
+    f"SELECT doc_id, {SCHEME.sql_cell_expr('lat', 'lon')} AS cell FROM {_PTS} p"
+)
+
+Q_TILE = (
+    f"SELECT cell, COUNT(*) AS n_points FROM (SELECT"
+    f" {SCHEME.sql_cell_expr('lat', 'lon')} AS cell FROM {_PTS} p) g GROUP BY cell"
+)
+
+Q_PIP = (
+    f"SELECT doc_id, lat, lon FROM {_PTS} p WHERE "
+    + point_in_ring_sql("lat", "lon", PENTAGON)
+)
+
+Q_BBOX = (
+    f"SELECT doc_id FROM {_PTS} p WHERE " + bbox_contains_sql("lat", "lon", *RECT)
+)
+
+_DIST = haversine_sql("lat", "lon", repr(CENTER[0]), repr(CENTER[1]))
+Q_DIST = (
+    f"SELECT doc_id, {round50_sql(_DIST)} AS dist50_m FROM {_PTS} p "
+    f"WHERE {round50_sql(_DIST)} < 3000.0"
+)
+
+Q_NEAR = f"SELECT doc_id FROM {_PTS} p WHERE {_DIST} <= 1500.0"
+
+# spatial join against a small zone dimension (broadcast side); shared
+# SQL form is a union of per-zone containment scans
+Q_ZONE_JOIN = " UNION ALL ".join(
+    f"SELECT doc_id, '{zid}' AS zone_id FROM {_PTS} p WHERE "
+    + point_in_ring_sql("lat", "lon", ring)
+    for zid, ring in ZONES.items()
+)
+
+# rule-expression composite: spatial AND attribute fold (ops #1+#14+#18)
+Q_RULE_COMPOSITE = (
+    f"SELECT doc_id FROM {_PTS} p WHERE ("
+    + point_in_ring_sql("lat", "lon", PENTAGON)
+    + ") AND (speed >= 30.0 AND speed <= 120.0)"
+)
+
+# attribute operator semantics over events (ops #11-#17)
+Q_ATTR_RANGE = (
+    "SELECT event_id FROM events WHERE value >= 30.0 AND value <= 120.0"
+)
+# NRANGE is boundary-inclusive on BOTH ends (runtime.go:1082-1088)
+Q_ATTR_NRANGE = "SELECT event_id FROM events WHERE value <= 30.0 OR value >= 120.0"
+Q_ATTR_IN = (
+    "SELECT event_id FROM events WHERE event_type IN ('click', 'signup')"
+)
+Q_ATTR_NIN = (
+    "SELECT event_id FROM events WHERE event_type NOT IN ('click', 'signup')"
+)
+Q_HOUR_RANGE = (
+    "SELECT event_id FROM events WHERE HOUR(ts) >= 9 AND HOUR(ts) <= 17"
+)
+
+
+def _events_shared(sql: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        load_tables(spark, sf_dir, ["events"])
+        return spark.sql(sql)
+
+    return fn, sql
+
+
+# --- device-near-device: scale plan vs brute oracle ----------------------
+
+
+def spark_device_near_device(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of derived points within 250 m.
+
+    Scale plan: fine-grid cell key on each point; the left side
+    explodes its 3×3 k-ring (square neighborhood ⊇ the 250 m disc —
+    cell edge ~1.1 km) and equi-joins the right side's cell — a plain
+    shuffle hash join on a long key that AQE can re-plan/skew-split —
+    then exact haversine refinement. No false negatives: asserted
+    against the O(n²) oracle by the driver.
+    """
+    load_tables(spark, sf_dir, ["documents"])
+    pts = spark.sql(
+        f"SELECT doc_id, lat, lon, {FINE.sql_cell_expr('lat', 'lon')} AS cell FROM {_PTS} p"
+    )
+    cols = FINE.cols
+    neighbor_cells = F.array(
+        *[
+            (F.col("cell") + F.lit(dr * cols + dc)).cast("long")
+            for dr in (-1, 0, 1)
+            for dc in (-1, 0, 1)
+        ]
+    )
+    left = pts.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("lat").alias("a_lat"),
+        F.col("lon").alias("a_lon"),
+        F.explode(neighbor_cells).alias("cell"),
+    )
+    right = pts.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("lat").alias("b_lat"),
+        F.col("lon").alias("b_lon"),
+        F.col("cell"),
+    )
+    dist = F.expr(haversine_sql("a_lat", "a_lon", "b_lat", "b_lon"))
+    return (
+        left.join(right, "cell")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(dist <= NEAR_PAIR_METERS)
+        .select(
+            "a_id",
+            "b_id",
+            F.expr(round50_sql(haversine_sql("a_lat", "a_lon", "b_lat", "b_lon"))).alias(
+                "dist50_m"
+            ),
+        )
+    )
+
+
+DUCK_DEVICE_NEAR_DEVICE = (
+    f"SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+    + round50_sql(haversine_sql("a.lat", "a.lon", "b.lat", "b.lon"))
+    + f" AS dist50_m FROM {_PTS} a JOIN {_PTS} b ON a.doc_id < b.doc_id "
+    + f"WHERE {haversine_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')} <= {NEAR_PAIR_METERS!r}"
+)
+
+
+GEO_QUERIES: dict[str, tuple] = {
+    "points_derive": _shared(Q_POINTS),
+    "cell_assign": _shared(Q_CELL),
+    "tile_rollup": _shared(Q_TILE),
+    "pip_polygon": _shared(Q_PIP),
+    "bbox_filter": _shared(Q_BBOX),
+    "dist_to_center": _shared(Q_DIST),
+    "near_radius": _shared(Q_NEAR),
+    "zone_join": _shared(Q_ZONE_JOIN),
+    "rule_composite": _shared(Q_RULE_COMPOSITE),
+    "attr_range": _events_shared(Q_ATTR_RANGE),
+    "attr_nrange": _events_shared(Q_ATTR_NRANGE),
+    "attr_in_string": _events_shared(Q_ATTR_IN),
+    "attr_nin_string": _events_shared(Q_ATTR_NIN),
+    "attr_hour_range": _events_shared(Q_HOUR_RANGE),
+    "device_near_device": (spark_device_near_device, DUCK_DEVICE_NEAR_DEVICE),
+}

@@ -1,0 +1,237 @@
+"""Training-data text ops over ``documents``: dedup, quality, language
+ID, fingerprinting — each as a Spark query + DuckDB oracle.
+
+Where both engines accept the identical ANSI text (hash/window/string
+arithmetic) the SQL is shared. Shingle-based ops (n-gram Jaccard,
+MinHash+LSH, SimHash) need list/lateral syntax that differs by
+dialect, so both variants are *generated from the same constants*
+(hash family, band layout, shingle width) — the values are forced to
+agree because every arithmetic step is integer or exact-double and the
+token hash is the engines' common ``md5``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spinix_spark.io.derive import load_tables
+
+# MinHash family: h_j(x) = (a_j * x + b_j) mod P over 32-bit md5-prefix
+# token hashes (the classic (a x + b) mod p universal family).
+P = 2147483647
+N_HASHES = 16
+BANDS = 4  # 4 bands × 4 rows
+A = [(2654435761 * (j + 1)) % P for j in range(N_HASHES)]
+B = [(40503 * (j + 1) + 7) % P for j in range(N_HASHES)]
+SHINGLE_W = 3
+SIMHASH_BITS = 16
+
+
+def _shared(sql: str, tables=("documents",)):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_tables(spark, sf_dir, list(tables))
+        return spark.sql(sql)
+
+    return fn, sql
+
+
+def _split(spark_sql: str, duck_sql: str, tables=("documents",)):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_tables(spark, sf_dir, list(tables))
+        return spark.sql(spark_sql)
+
+    return fn, duck_sql
+
+
+# --- shared-SQL ops ------------------------------------------------------
+
+Q_DEDUP_EXACT = (
+    "SELECT doc_id, md5(text) AS text_hash, "
+    "CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) "
+    "THEN false ELSE true END AS is_dup FROM documents"
+)
+
+Q_FINGERPRINT = "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents"
+
+Q_TOKEN_COUNT = (
+    "SELECT doc_id, "
+    "(LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) + 1 AS n_tokens, "
+    "LENGTH(text) AS n_chars, "
+    "CAST(FLOOR((LENGTH(text) + 3.0) / 4.0) AS BIGINT) AS est_bpe_tokens "
+    "FROM documents"
+)
+
+Q_QUALITY = (
+    "SELECT doc_id, n_tokens, "
+    "CAST(n_alpha AS DOUBLE) / n_tokens AS mean_word_len, "
+    "CAST(n_the AS DOUBLE) / n_tokens AS stopword_ratio, "
+    "CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 1.0 ELSE 0.5 END "
+    "* (CASE WHEN CAST(n_the AS DOUBLE) / n_tokens > 0.01 THEN 1.0 ELSE 0.8 END) "
+    "AS quality_score FROM ("
+    "SELECT doc_id, "
+    "(LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) + 1 AS n_tokens, "
+    "LENGTH(REPLACE(text, ' ', '')) AS n_alpha, "
+    "CAST((LENGTH(text) - LENGTH(REPLACE(text, 'the', ''))) AS BIGINT) / 3 AS n_the "
+    "FROM documents) q"
+)
+
+# marker-word language ID (n-gram/stopword heuristic): counts of
+# language-marker substrings decide; deterministic tie-break by
+# priority order en > es > de.
+Q_LANG_ID = (
+    "SELECT doc_id, CASE "
+    "WHEN n_en >= n_es AND n_en >= n_de THEN 'en' "
+    "WHEN n_es >= n_de THEN 'es' "
+    "ELSE 'de' END AS pred_lang, lang AS labeled_lang FROM ("
+    "SELECT doc_id, lang, "
+    "(LENGTH(text) - LENGTH(REPLACE(text, ' the ', ''))) / 5 AS n_en, "
+    "(LENGTH(text) - LENGTH(REPLACE(text, ' el ', ''))) / 4 AS n_es, "
+    "(LENGTH(text) - LENGTH(REPLACE(text, ' der ', ''))) / 5 AS n_de "
+    "FROM documents) m"
+)
+
+
+# --- shingle machinery (dialect-split, shared constants) -----------------
+
+# Spark: 0-based array indexing, transform/sequence, LATERAL VIEW explode
+_SPARK_SHINGLES = (
+    "SELECT doc_id, sh FROM ("
+    "SELECT doc_id, array_distinct(transform(sequence(0, size(ws) - {w}), "
+    "i -> concat_ws(' ', {spark_elems}))) AS shs "
+    "FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents "
+    "WHERE size(split(text, ' ')) >= {w} {extra}) t) s "
+    "LATERAL VIEW explode(shs) es AS sh"
+).format
+# DuckDB: 1-based list indexing, list_transform/generate_series, unnest
+_DUCK_SHINGLES = (
+    "SELECT doc_id, unnest(list_distinct(list_transform("
+    "generate_series(0, len(ws) - {w}), "
+    "i -> {duck_elems}))) AS sh "
+    "FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents "
+    "WHERE len(string_split(text, ' ')) >= {w} {extra}) t"
+).format
+
+_SPARK_ELEMS = ", ".join(f"ws[i + {k}]" for k in range(SHINGLE_W))
+_DUCK_ELEMS = " || ' ' || ".join(f"ws[i + {k + 1}]" for k in range(SHINGLE_W))
+
+
+def spark_shingles(extra: str = "") -> str:
+    return _SPARK_SHINGLES(w=SHINGLE_W, spark_elems=_SPARK_ELEMS, extra=extra)
+
+
+def duck_shingles(extra: str = "") -> str:
+    return _DUCK_SHINGLES(w=SHINGLE_W, duck_elems=_DUCK_ELEMS, extra=extra)
+
+
+def _jaccard_sql(shingles_sql: str) -> str:
+    return (
+        f"WITH s AS ({shingles_sql}), "
+        "cnt AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter "
+        "FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) "
+        "SELECT a_id, b_id, jaccard FROM ("
+        "SELECT a_id, b_id, CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) AS jaccard "
+        "FROM inter JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id) j "
+        "WHERE jaccard >= 0.2"
+    )
+
+
+_JACCARD_SCOPE = "AND doc_id < 200"
+
+Q_JACCARD_SPARK = _jaccard_sql(spark_shingles(_JACCARD_SCOPE))
+Q_JACCARD_DUCK = _jaccard_sql(duck_shingles(_JACCARD_SCOPE))
+
+# token hash: 32-bit md5 prefix — engines' common hash
+_SPARK_X = f"(CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT) % {P})"
+_DUCK_X = f"(('0x' || substr(md5(sh), 1, 8))::BIGINT % {P})"
+
+
+def _minhash_sql(shingles_sql: str, x_expr: str, explode_j: str) -> str:
+    return (
+        f"WITH s AS ({shingles_sql}), "
+        f"hx AS (SELECT doc_id, {x_expr} AS x FROM s), "
+        f"hj AS (SELECT doc_id, j, x FROM hx {explode_j}) "
+        "SELECT doc_id, j, MIN((a_j * x + b_j) % p_) AS mh FROM ("
+        "SELECT doc_id, j, x, "
+        f"(2654435761 * (j + 1)) % {P} AS a_j, "
+        f"(40503 * (j + 1) + 7) % {P} AS b_j, {P} AS p_ FROM hj) h "
+        "GROUP BY doc_id, j"
+    )
+
+
+_SPARK_EXPLODE_J = f"LATERAL VIEW explode(sequence(0, {N_HASHES - 1})) tj AS j"
+_DUCK_EXPLODE_J = f"CROSS JOIN (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS j) js"
+
+Q_MINHASH_SPARK = _minhash_sql(spark_shingles(), _SPARK_X, _SPARK_EXPLODE_J)
+Q_MINHASH_DUCK = _minhash_sql(duck_shingles(), _DUCK_X, _DUCK_EXPLODE_J)
+
+
+def _lsh_pairs_sql(minhash_sql: str) -> str:
+    rows_per_band = N_HASHES // BANDS
+    return (
+        f"WITH mh AS ({minhash_sql}), "
+        "bk AS (SELECT doc_id, CAST(FLOOR(j / "
+        f"{float(rows_per_band)!r}) AS BIGINT) AS band, "
+        + "CONCAT_WS(',', "
+        + ", ".join(
+            f"CAST(MIN(CASE WHEN j % {rows_per_band} = {r} THEN mh END) AS STRING)"
+            for r in range(rows_per_band)
+        )
+        + ") AS bucket FROM mh GROUP BY doc_id, CAST(FLOOR(j / "
+        f"{float(rows_per_band)!r}) AS BIGINT)) "
+        "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bk a "
+        "JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"
+    )
+
+
+Q_LSH_SPARK = _lsh_pairs_sql(Q_MINHASH_SPARK)
+Q_LSH_DUCK = _lsh_pairs_sql(Q_MINHASH_DUCK)
+
+
+def _unigrams(spark_side: bool, extra: str = "") -> str:
+    if spark_side:
+        return (
+            "SELECT doc_id, sh FROM (SELECT doc_id, split(text, ' ') AS ws "
+            f"FROM documents WHERE size(split(text, ' ')) >= 1 {extra}) t "
+            "LATERAL VIEW explode(ws) ew AS sh"
+        )
+    return (
+        "SELECT doc_id, unnest(ws) AS sh FROM (SELECT doc_id, "
+        f"string_split(text, ' ') AS ws FROM documents WHERE "
+        f"len(string_split(text, ' ')) >= 1 {extra}) t"
+    )
+
+
+def _simhash_sql(tokens_sql: str, x_expr: str, explode_k: str) -> str:
+    return (
+        f"WITH tok AS ({tokens_sql}), "
+        f"hx AS (SELECT doc_id, {x_expr} AS x FROM tok), "
+        f"bits AS (SELECT doc_id, k, SUM(CASE WHEN "
+        "CAST(FLOOR(x / POW(2.0, k)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS w "
+        f"FROM (SELECT doc_id, x, k FROM hx {explode_k}) e GROUP BY doc_id, k) "
+        "SELECT doc_id, CAST(SUM(CASE WHEN w > 0 THEN "
+        "CAST(POW(2.0, k) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash "
+        "FROM bits GROUP BY doc_id"
+    )
+
+
+_SPARK_EXPLODE_K = f"LATERAL VIEW explode(sequence(0, {SIMHASH_BITS - 1})) tk AS k"
+_DUCK_EXPLODE_K = (
+    f"CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS k) ks"
+)
+
+Q_SIMHASH_SPARK = _simhash_sql(_unigrams(True), _SPARK_X, _SPARK_EXPLODE_K)
+Q_SIMHASH_DUCK = _simhash_sql(_unigrams(False), _DUCK_X, _DUCK_EXPLODE_K)
+
+
+TEXT_QUERIES: dict[str, tuple] = {
+    "dedup_exact": _shared(Q_DEDUP_EXACT),
+    "doc_fingerprint": _shared(Q_FINGERPRINT),
+    "token_count": _shared(Q_TOKEN_COUNT),
+    "quality_score": _shared(Q_QUALITY),
+    "lang_id": _shared(Q_LANG_ID),
+    "ngram_jaccard_pairs": _split(Q_JACCARD_SPARK, Q_JACCARD_DUCK),
+    "minhash_signatures": _split(Q_MINHASH_SPARK, Q_MINHASH_DUCK),
+    "minhash_lsh_pairs": _split(Q_LSH_SPARK, Q_LSH_DUCK),
+    "simhash": _split(Q_SIMHASH_SPARK, Q_SIMHASH_DUCK),
+}
