@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline workload at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Workload:
+- ``geo_pipeline``: the flagship spatial-join pipeline — synthesize
+  sf-scaled Common-Crawl-style pages (distributed, deterministic),
+  geoparse (codegen regex), rule-bbox prune, vectorized spatial
+  refinement against a broadcast zone + device-snapshot, event rows +
+  tile rollup. Throughput is reported as ``pages_per_sec``.
+- a slice of the operator-registry queries (cell joins, dedup,
+  minhash, ANN) at the same scale factor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def build_spark(cpus: str, shuffle_partitions: int | None = None):
+    from pyspark.sql import SparkSession
+
+    n = int(cpus)
+    return (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName("spinix-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(2 * n, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_geo_pipeline(spark, n_pages: int) -> dict:
+    """pages → geoparse → detect (2 rules) → events count + tile rollup."""
+    import numpy as np
+
+    from spinix_spark.engine.detect import Engine
+    from spinix_spark.engine.spark_pipeline import detect_batch_spark, split_output
+    from spinix_spark.engine.stores import zone_from_ring
+    from spinix_spark.geo.cells import DEFAULT_SCHEME
+    from spinix_spark.geo.rings import circle_ring
+    from spinix_spark.io.geoparse import cell_column, geoparse_points
+    from spinix_spark.io.pages import BASE_LAT, BASE_LON, synthesize_pages
+
+    pages = synthesize_pages(spark, n_pages)
+    points = geoparse_points(pages).withColumn("cell", cell_column(DEFAULT_SCHEME))
+
+    engine = Engine()
+    # zone near the hot cell + a second zone mid-grid
+    engine.zones.add(
+        zone_from_ring(
+            "c5vj26evvhfjvfseaulg", circle_ring(BASE_LAT, BASE_LON, 900.0, 6)
+        )
+    )
+    engine.zones.add(
+        zone_from_ring(
+            "c5vj26evvhfjvfseauk0", circle_ring(BASE_LAT + 0.3, BASE_LON + 0.3, 1500.0, 6)
+        )
+    )
+    engine.add_rule(
+        "device :radius 300m INTERSECTS polygon(@) and speed range [30 .. 170]"
+        " { :center 43.4 -71.8 :radius 300km }",
+        rule_id="r" + "0" * 19,
+    )
+    engine.add_rule(
+        "device IN polygon(c5vj26evvhfjvfseaulg)"
+        " { :center 42.925 -72.275 :radius 5km }",
+        rule_id="r" + "1" * 19,
+    )
+
+    events, _ = split_output(detect_batch_spark(points, engine))
+    n_events = events.count()
+
+    from spinix_spark.engine.tiles import point_density_raster
+
+    raster_rows = point_density_raster(points).count()
+    return {"n_events": int(n_events), "n_tiles": int(raster_rows)}
+
+
+HEADLINE_QUERIES = [
+    "points_derive",
+    "cell_assign",
+    "tile_rollup",
+    "pip_polygon",
+    "zone_join",
+    "device_near_device",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash",
+    "ann_brute_topk",
+    "embed_neardup_pairs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_from_dir(sf_dir)
+    n_pages = max(int(6_000_000 * sf), 10_000)
+
+    spark = build_spark(cpus)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+
+    queries: dict[str, float] = {}
+
+    t0 = time.time()
+    pipe_stats = run_geo_pipeline(spark, n_pages)
+    t_pipe = time.time() - t0
+    queries["geo_pipeline"] = round(t_pipe, 3)
+
+    qmap = entrymod.queries()
+    for name in HEADLINE_QUERIES:
+        t0 = time.time()
+        n = qmap[name](spark, sf_dir).count()
+        queries[name] = round(time.time() - t0, 3)
+        pipe_stats[f"rows_{name}"] = int(n)
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "headline geo-pipeline + operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "n_pages": n_pages,
+        "pages_per_sec": round(n_pages / t_pipe, 1),
+        "stats": pipe_stats,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""Structured Streaming detection.
+
+The reference's hot path is one-device-at-a-time ``Engine.Detect``
+(engine.go:190-225); its natural streaming form is a micro-batch
+pipeline: each micro-batch is evaluated against the device-position
+snapshot as of the previous batch (the evaluate-then-insert ordering,
+engine.go:218-221), then merged into it. Two implementations:
+
+- ``stream_detect``: ``writeStream.foreachBatch`` over the batch
+  pipeline — exact batch semantics, carries the snapshot and trigger
+  state across micro-batches on the driver (zones/rules stay
+  broadcast). Checkpointing via the stream's checkpointLocation.
+- ``stateful_trigger_stream``: a keyed ``applyInPandasWithState``
+  stage for per-(device, rule) trigger state at scale — state lives in
+  the state store, sharded by key, no driver round-trip.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from spinix_spark.engine.detect import Engine
+from spinix_spark.engine.spark_pipeline import detect_batch_spark, split_output
+
+
+def stream_detect(
+    points_stream: DataFrame,
+    engine: Engine,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Run detection over a streaming points DataFrame.
+
+    ``sink(events_df, batch_id)`` receives each micro-batch's event
+    rows. The engine's snapshot and trigger state advance between
+    micro-batches (batch N sees positions as of batch N-1)."""
+    state_rows: list[dict] = []
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal state_rows
+        batch_df = batch_df.cache()
+        out = detect_batch_spark(batch_df, engine, state_rows=state_rows)
+        events, states = split_output(out)
+        sink(events, batch_id)
+        state_rows = [r.asDict() for r in states.collect()]
+        engine.devices.merge_batch(
+            [r.asDict() for r in batch_df.collect()]
+        )
+        batch_df.unpersist()
+
+    writer = points_stream.writeStream.foreachBatch(process).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+TRIGGER_STATE_SCHEMA = StructType(
+    [
+        StructField("last_seen", LongType()),
+        StructField("last_reset", LongType()),
+        StructField("hits", LongType()),
+    ]
+)
+
+TRIGGER_OUT_SCHEMA = StructType(
+    [
+        StructField("device_id", StringType()),
+        StructField("rule_id", StringType()),
+        StructField("datetime", LongType()),
+        StructField("fired", LongType()),
+        StructField("hits", LongType()),
+    ]
+)
+
+
+def make_trigger_fn(repeat: int, delay_s: float, interval_s: float, times: int, reset_interval_s: float):
+    """Build the applyInPandasWithState update function implementing
+    checkTrigger/changeState (runtime.go:103-163) for one rule's
+    params. Keyed by (device_id, rule_id); event-time driven."""
+    from spinix_spark.dsl import ast_nodes as ast
+
+    def update(key, pdfs, state: GroupState):
+        device_id, rule_id = key
+        if state.exists:
+            last_seen, last_reset, hits = state.get
+        else:
+            last_seen, last_reset, hits = 0, 0, 0
+        rows = []
+        for pdf in pdfs:
+            for ts in sorted(int(t) for t in pdf["datetime"]):
+                now = ts
+                need = (
+                    reset_interval_s == 0
+                    or last_reset == 0
+                    or (now - last_reset) >= int(reset_interval_s)
+                )
+                if need:
+                    last_seen, hits = 0, 0
+                    last_reset = now
+                if repeat == ast.REPEAT_EVERY:
+                    fire = last_seen == 0 or (now - last_reset) > int(delay_s)
+                elif repeat == ast.REPEAT_TIMES:
+                    fire = (now - last_seen) >= int(interval_s) and hits < times
+                elif repeat == ast.REPEAT_ONCE:
+                    fire = hits == 0
+                else:
+                    fire = True
+                if fire:
+                    last_seen = now
+                    if repeat in (ast.REPEAT_TIMES, ast.REPEAT_ONCE):
+                        hits += 1
+                rows.append(
+                    {
+                        "device_id": device_id,
+                        "rule_id": rule_id,
+                        "datetime": now,
+                        "fired": 1 if fire else 0,
+                        "hits": hits,
+                    }
+                )
+        state.update((last_seen, last_reset, hits))
+        yield pd.DataFrame(rows)
+
+    return update
+
+
+def stateful_trigger_stream(matches_stream: DataFrame, trigger_fn) -> DataFrame:
+    """Keyed trigger gating over a stream of per-(device, rule) match
+    rows — state sharded by the grouping key in Spark's state store."""
+    return matches_stream.groupBy("device_id", "rule_id").applyInPandasWithState(
+        trigger_fn,
+        outputStructType=TRIGGER_OUT_SCHEMA,
+        stateStructType=TRIGGER_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
