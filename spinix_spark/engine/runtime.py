@@ -941,9 +941,12 @@ def eval_spec(
 
     final_ok = acc & layer_ok & trigger_ok
 
-    for i in range(n):
-        if not layer_ok[i] or not trigger_ok[i]:
-            continue
+    # only devices with at least one recorded-true node produce match
+    # rows — skip the (typically much larger) rest entirely
+    any_hit = np.zeros(n, dtype=bool)
+    for j, res in enumerate(node_results):
+        any_hit |= recorded[j] & res.ok
+    for i in np.nonzero(any_hit & layer_ok & trigger_ok)[0]:
         for j, res in enumerate(node_results):
             if recorded[j][i] and res.ok[i]:
                 matches[i].append(

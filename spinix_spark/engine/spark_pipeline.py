@@ -128,14 +128,27 @@ def detect_batch_spark(
                     continue
                 sub = pdf.loc[mask].reset_index(drop=True)
                 ok, matches = eval_spec(spec, sub, ref, rule_id)
-                for i in np.nonzero(ok)[0]:
-                    row = sub.iloc[i]
+                hit_idx = np.nonzero(ok)[0]
+                if hit_idx.size == 0:
+                    continue
+                urls = (
+                    sub["url"].to_numpy(dtype=object)
+                    if "url" in sub
+                    else np.full(len(sub), "", dtype=object)
+                )
+                dids = sub["device_id"].to_numpy(dtype=object)
+                dts = (
+                    sub["datetime"].to_numpy(dtype=np.int64)
+                    if "datetime" in sub
+                    else np.zeros(len(sub), dtype=np.int64)
+                )
+                for i in hit_idx:
                     for m in matches[i]:
                         out_rows.append(
                             {
                                 "row_type": "event",
-                                "url": row.get("url", ""),
-                                "device_id": row["device_id"],
+                                "url": urls[i],
+                                "device_id": dids[i],
                                 "rule_id": rule_id,
                                 "spec": spec.source,
                                 "ok": m["ok"],
@@ -143,7 +156,7 @@ def detect_batch_spark(
                                 "right_kw": m["right_kw"],
                                 "op": m["op"],
                                 "right_refs": m["right_refs"],
-                                "datetime": int(row.get("datetime", 0)),
+                                "datetime": int(dts[i]),
                                 "last_seen": 0,
                                 "last_reset": 0,
                                 "hits": 0,
