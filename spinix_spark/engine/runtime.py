@@ -470,6 +470,100 @@ def _ring_contains_rect_single(ring: np.ndarray, rects: np.ndarray) -> np.ndarra
     return ring_contains_ring(ring, rect_ring(rects))
 
 
+# --- two-phase filtering helpers ----------------------------------------
+
+# Ops whose per-candidate predicate is TRUE when the candidate is far
+# away (negated verbs): outside the bbox prefilter the exact predicate
+# is known without computing it.
+_FAR_TRUE_OPS = frozenset({Token.NINTERSECTS, Token.NNEAR, Token.NIN})
+
+
+def _deg_pad(meters: float, ref_lat: float) -> tuple[float, float]:
+    """Conservative degree padding for a metric reach at a latitude."""
+    m = max(meters, 0.0) + 1.0
+    dlat = m / 110574.0
+    import math as _math
+
+    coslat = _math.cos(_math.radians(min(abs(ref_lat), 84.0)))
+    dlon = m / (111320.0 * max(coslat, 0.05))
+    return dlat, dlon
+
+
+def _zone_prefilter(zone: Zone, batch: DeviceBatch, meters: float) -> np.ndarray:
+    """Cheap candidate mask: point within the zone bbox expanded by the
+    device-buffer reach — the two-phase filter of the reference
+    (R-tree bbox prefilter before exact geometry, devices.go:181-192)."""
+    b = zone.bbox
+    ref_lat = max(abs(float(b[0])), abs(float(b[2])))
+    dlat, dlon = _deg_pad(meters, ref_lat)
+    return (
+        (batch.lat >= b[0] - dlat)
+        & (batch.lat <= b[2] + dlat)
+        & (batch.lon >= b[1] - dlon)
+        & (batch.lon <= b[3] + dlon)
+    )
+
+
+def _masked_zone_eval(
+    zone: Zone,
+    op: Token,
+    kind: Token,
+    batch: DeviceBatch,
+    meters: float,
+    steps: int,
+    pre: np.ndarray,
+) -> np.ndarray:
+    """Exact predicate only on prefilter survivors; far rows take the
+    op's known far-field value. Identical output to evaluating the full
+    batch, at a fraction of the memory traffic."""
+    out = np.full(batch.n, op in _FAR_TRUE_OPS)
+    idx = np.nonzero(pre)[0]
+    if idx.size == batch.n:
+        return _zone_verb_mask(zone, op, kind, batch, meters, steps)
+    if idx.size:
+        sub = DeviceBatch(batch.pdf.iloc[idx])
+        out[idx] = _zone_verb_mask(zone, op, kind, sub, meters, steps)
+    return out
+
+
+def _masked_dd_eval(
+    op: Token,
+    t_kind: Token,
+    node_left,
+    batch: DeviceBatch,
+    other_kind: Token,
+    other_lat: float,
+    other_lon: float,
+    other_meters: float,
+    other_steps: int,
+    pre: np.ndarray,
+) -> np.ndarray:
+    out = np.full(batch.n, op in _FAR_TRUE_OPS)
+    idx = np.nonzero(pre)[0]
+    full_rings = (
+        batch.rings(node_left.meters(), node_left.steps())
+        if t_kind in (Token.RADIUS, Token.BBOX)
+        else None
+    )
+    if idx.size == batch.n:
+        return _dd_verb_mask(
+            op, t_kind, full_rings, batch, other_kind,
+            other_lat, other_lon, other_meters, other_steps,
+        )
+    if idx.size:
+        sub = DeviceBatch(batch.pdf.iloc[idx])
+        sub_rings = (
+            sub.rings(node_left.meters(), node_left.steps())
+            if t_kind in (Token.RADIUS, Token.BBOX)
+            else None
+        )
+        out[idx] = _dd_verb_mask(
+            op, t_kind, sub_rings, sub, other_kind,
+            other_lat, other_lon, other_meters, other_steps,
+        )
+    return out
+
+
 # --- node evaluation -----------------------------------------------------
 
 
@@ -501,7 +595,9 @@ def _eval_sp_object(
             if z is not None and z.layer_id == layer:
                 candidates.append(z)
         for z in candidates:
-            mask = _zone_verb_mask(z, node.op, kind, batch, meters, steps) & layer_ok
+            pre = _zone_prefilter(z, batch, meters)
+            mask = _masked_zone_eval(z, node.op, kind, batch, meters, steps, pre)
+            mask &= layer_ok
             ok |= mask
             for i in np.nonzero(mask)[0]:
                 refs[i].append(z.object_id)
@@ -518,10 +614,21 @@ def _eval_sp_object(
         for z in ref.zones.all_zones():
             if z.layer_id != layer:
                 continue
-            cand = rect_intersects_rect(rects, z.bbox)
+            cand = rect_intersects_rect(rects, z.bbox) & layer_ok
             if not cand.any():
                 continue
-            mask = cand & layer_ok & _zone_verb_mask(z, node.op, kind, batch, meters, steps)
+            # exact predicate only on the candidate subset; non-candidates
+            # are never examined (Objects.Near pruning — part of the
+            # visible semantics for negated verbs, SURVEY.md §2B.1)
+            mask = cand.copy()
+            idx = np.nonzero(cand)[0]
+            sub = DeviceBatch(batch.pdf.iloc[idx]) if idx.size < batch.n else batch
+            sub_mask = _zone_verb_mask(z, node.op, kind, sub, meters, steps)
+            if idx.size < batch.n:
+                mask[idx] = sub_mask
+                mask &= cand
+            else:
+                mask = cand & sub_mask
             ok |= mask
             for i in np.nonzero(mask)[0]:
                 refs[i].append(z.object_id)
@@ -566,17 +673,27 @@ def _eval_sp_devices(
             if other is None:
                 continue
             cand_layer_ok = batch.layer_id == other.get("layer_id", "0" * 20)
+            # two-phase: cheap reach prefilter around the candidate,
+            # exact predicate only on survivors
+            dlat, dlon = _deg_pad(
+                target_meters + other_meters, float(other["lat"])
+            )
+            pre = (
+                (np.abs(batch.lat - other["lat"]) <= dlat)
+                & (np.abs(batch.lon - other["lon"]) <= dlon)
+            )
             mask = (
-                _dd_verb_mask(
+                _masked_dd_eval(
                     node.op,
                     t_kind,
-                    target_rings,
+                    node.left,
                     batch,
                     other_kind,
                     other["lat"],
                     other["lon"],
                     other_meters,
                     other_steps,
+                    pre,
                 )
                 & active
                 & cand_layer_ok
@@ -603,17 +720,26 @@ def _eval_sp_devices(
             cand &= batch.layer_id == other.get("layer_id", "0" * 20)
             if not cand.any():
                 continue
-            mask = cand & _dd_verb_mask(
-                node.op,
-                t_kind,
-                target_rings,
-                batch,
-                other_kind,
-                other["lat"],
-                other["lon"],
-                other_meters,
-                other_steps,
-            )
+            # exact predicate only on candidate rows (non-candidates are
+            # outside the pruned Near universe and contribute nothing)
+            idx = np.nonzero(cand)[0]
+            mask = np.zeros(n, dtype=bool)
+            if idx.size < n:
+                sub = DeviceBatch(batch.pdf.iloc[idx])
+                sub_rings = (
+                    sub.rings(target_meters, node.left.steps())
+                    if t_kind in (Token.RADIUS, Token.BBOX)
+                    else None
+                )
+                mask[idx] = _dd_verb_mask(
+                    node.op, t_kind, sub_rings, sub, other_kind,
+                    other["lat"], other["lon"], other_meters, other_steps,
+                )
+            else:
+                mask = cand & _dd_verb_mask(
+                    node.op, t_kind, target_rings, batch, other_kind,
+                    other["lat"], other["lon"], other_meters, other_steps,
+                )
             ok |= mask
             for i in np.nonzero(mask)[0]:
                 refs[i].append(other["device_id"])
