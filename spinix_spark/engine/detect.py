@@ -61,6 +61,42 @@ class Rule:
     cells: list[int] = field(default_factory=list)
     ring: np.ndarray | None = None
 
+    def to_json(self) -> str:
+        """Rule snapshot round-trip (≙ the reference's rule JSON
+        serialization, rule.go:101-174 / disabled rule_test.go)."""
+        import json
+
+        return json.dumps(
+            {
+                "rule_id": self.rule_id,
+                "spec": self.spec.source,
+                "center_lat": self.spec.props.center_lat,
+                "center_lon": self.spec.props.center_lon,
+                "radius_m": self.spec.props.radius_m,
+                "layer_id": self.spec.props.layer,
+            }
+        )
+
+    @staticmethod
+    def from_json(engine: "Engine", s: str) -> "Rule":
+        import json
+
+        d = json.loads(s)
+        # deserialized rules get a 1 km radius floor (rule.go:54-56)
+        rule = engine.add_rule(d["spec"], rule_id=d["rule_id"])
+        if rule.spec.props.radius_m < 1000.0:
+            rule.spec.props.radius_m = 1000.0
+            ring = circle_ring(
+                rule.spec.props.center_lat,
+                rule.spec.props.center_lon,
+                rule.spec.props.radius_m,
+                RULE_CIRCLE_STEPS,
+            )
+            rule.ring = ring
+            rule.bbox = ring_bbox(ring)
+            rule.cells = engine.scheme.cover_bbox(*[float(x) for x in rule.bbox])
+        return rule
+
 
 class Engine:
     def __init__(self, scheme: GridScheme = DEFAULT_SCHEME) -> None:
@@ -69,6 +105,11 @@ class Engine:
         self.devices = DeviceSnapshot()
         self.states = StateStore()
         self.rules: dict[str, Rule] = {}
+        # hooks (hooks.go:3-5; invoked engine.go:197-201, 213-215):
+        # before_detect(device_row, rule) -> bool gates evaluation;
+        # after_detect(device_row, rule, events) observes results
+        self.before_detect = None
+        self.after_detect = None
 
     # --- rule registration (engine.go:110-188) --------------------------
 
@@ -163,13 +204,22 @@ class Engine:
             pruned = self.walk_rules(lat, lon)
             for rid, rule in self.rules.items():
                 mask = pruned[rid]
+                if self.before_detect is not None:
+                    gate = np.array(
+                        [
+                            bool(self.before_detect(batch.iloc[i], rule))
+                            for i in range(len(batch))
+                        ]
+                    )
+                    mask = mask & gate
                 if not mask.any():
                     continue
                 sub = batch.loc[mask].reset_index(drop=True)
                 ok, matches = eval_spec(rule.spec, sub, ref, rid)
+                rule_events: list[dict] = []
                 for i in np.nonzero(ok)[0]:
                     row = sub.iloc[i]
-                    events.append(
+                    rule_events.append(
                         {
                             "device_id": row["device_id"],
                             "url": row.get("url", ""),
@@ -179,6 +229,9 @@ class Engine:
                             "matches": matches[i],
                         }
                     )
+                if self.after_detect is not None and rule_events:
+                    self.after_detect(rule, rule_events)
+                events.extend(rule_events)
             # evaluate-then-insert ordering (engine.go:218-221)
             self.devices.merge_batch(batch.to_dict("records"))
         return pd.DataFrame(

@@ -139,7 +139,44 @@ def zone_from_geojson(object_id: str, layer_id: str, geojson_str: str) -> Zone:
             rings=[ring],
             circle=(float(lat), float(lon), meters),
         )
+    if typ in ("GeometryCollection", "FeatureCollection"):
+        members = (
+            g.get("geometries", [])
+            if typ == "GeometryCollection"
+            else [f.get("geometry") for f in g.get("features", [])]
+        )
+        rings: list[np.ndarray] = []
+        lines: list[np.ndarray] = []
+        pts: list[np.ndarray] = []
+        for m in members:
+            if m is None:
+                continue
+            sub = zone_from_geojson(object_id, layer_id, json.dumps(m))
+            rings.extend(sub.rings)
+            lines.extend(sub.lines)
+            if sub.points is not None:
+                pts.append(np.atleast_2d(sub.points))
+        kind = "collection" if typ == "GeometryCollection" else "featureCollection"
+        return Zone(
+            object_id,
+            layer_id,
+            kind,
+            rings=rings,
+            lines=lines,
+            points=np.vstack(pts) if pts else None,
+        )
     raise ValueError(f"unsupported GeoJSON type: {typ}")
+
+
+def zone_cells(zone: Zone, scheme) -> list[int]:
+    """Grid-cell covering of an arbitrary zone — the engine's form of
+    the reference's EnsureIndex/coverBy (internal/geojson/index.go:80-213,
+    which walks the bbox in edge-length steps keeping cells the object
+    touches). A bbox cover is a superset (no false negatives), which is
+    all a join prefilter needs (SURVEY.md §2B.1); the reference's
+    per-cell containment test only shrinks the set."""
+    b = zone.bbox
+    return scheme.cover_bbox(float(b[0]), float(b[1]), float(b[2]), float(b[3]))
 
 
 def zone_from_ring(object_id: str, ring_latlon: np.ndarray, layer_id: str = NIL_XID) -> Zone:
@@ -237,6 +274,10 @@ class DeviceSnapshot:
 
     def all_devices(self) -> list[dict]:
         return list(self._rows.values())
+
+    def delete(self, device_id: str) -> None:
+        self._rows.pop(device_id, None)
+        self._arr = None
 
     def __len__(self) -> int:
         return len(self._rows)
