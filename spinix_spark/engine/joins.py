@@ -1,0 +1,196 @@
+"""Join-based physical strategies for the spatial operators.
+
+The engine's default plan broadcasts zones/rules and refines inside
+``mapInPandas`` (engine/spark_pipeline.py) — right when the dimension
+side fits in memory, which mirrors the reference's in-memory indexes.
+This module provides the *relational* strategies for when it doesn't:
+
+- ``points_in_zones_join``: explode zone covering cells → broadcast
+  equi-join on the cell key → vectorized exact PIP refinement on the
+  surviving (point, zone) candidates only. The refine stage sees just
+  (lat, lon, ring) columns — column pruning keeps the scan minimal.
+- ``near_pairs``: device-near-device radius self-join via k-ring cell
+  expansion (shuffle hash join on the cell key).
+- ``near_pairs_salted``: the hot-cell remedy. A dense cell makes the
+  pair join quadratic *within one task*; bucketing each cell's rows
+  into S salt buckets and joining on (cell, bucket_a, bucket_b) splits
+  that cell's work across S² tasks — the two-level salting the
+  north_rule calls for (AQE skew-join splits partitions, but cannot
+  split a single key's quadratic blowup; salting can).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from spinix_spark.geo.cells import GridScheme
+from spinix_spark.geo.sqlgen import haversine_sql
+from spinix_spark.engine.stores import Zone, zone_cells
+
+
+def zones_cells_df(spark, zones: list[Zone], scheme: GridScheme) -> DataFrame:
+    """Zone dimension exploded to one row per covering cell."""
+    rows = []
+    for z in zones:
+        for c in zone_cells(z, scheme):
+            rows.append((z.object_id, z.layer_id, int(c)))
+    return spark.createDataFrame(rows, "object_id string, layer_id string, cell long")
+
+
+def points_in_zones_join(
+    points: DataFrame,
+    zones: list[Zone],
+    scheme: GridScheme,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """(point × zone) containment via cell equi-join + exact refine.
+
+    Plan: points ⨝ broadcast(zone_cells) on cell (no shuffle on the
+    fact side) → applyInPandas-style refine with the zone rings shipped
+    in a broadcast variable → (url/doc id, object_id) match rows.
+    """
+    spark = points.sparkSession
+    zdf = zones_cells_df(spark, zones, scheme)
+    cand = points.join(F.broadcast(zdf), on=cell_col)
+
+    rings_by_id = {z.object_id: [r.copy() for r in z.rings] for z in zones}
+    b = spark.sparkContext.broadcast(rings_by_id)
+
+    id_col = "url" if "url" in points.columns else points.columns[0]
+    out_schema = StructType(
+        [
+            StructField(id_col, points.schema[id_col].dataType),
+            StructField("object_id", StringType()),
+            StructField("lat", DoubleType()),
+            StructField("lon", DoubleType()),
+        ]
+    )
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spinix_spark.geo.predicates import points_in_ring
+
+        rings = b.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            lat = pdf["lat"].to_numpy(np.float64)
+            lon = pdf["lon"].to_numpy(np.float64)
+            oids = pdf["object_id"].to_numpy(object)
+            for oid in pd.unique(pdf["object_id"]):
+                m = oids == oid
+                hit = np.zeros(int(m.sum()), dtype=bool)
+                for ring in rings.get(oid, []):
+                    hit |= points_in_ring(lat[m], lon[m], ring)
+                keep[np.nonzero(m)[0][hit]] = True
+            yield pdf.loc[keep, [id_col, "object_id", "lat", "lon"]]
+
+    return cand.select(id_col, "object_id", "lat", "lon").mapInPandas(
+        refine, schema=out_schema
+    )
+
+
+def _with_neighbor_cells(df: DataFrame, scheme: GridScheme, cell_col: str) -> DataFrame:
+    cols = scheme.cols
+    neighbors = F.array(
+        *[
+            (F.col(cell_col) + F.lit(dr * cols + dc)).cast("long")
+            for dr in (-1, 0, 1)
+            for dc in (-1, 0, 1)
+        ]
+    )
+    return df.withColumn("_ncell", F.explode(neighbors))
+
+
+def near_pairs(
+    points: DataFrame,
+    scheme: GridScheme,
+    radius_m: float,
+    id_col: str = "doc_id",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Pairs within radius via 3×3 k-ring cell join + exact haversine.
+    Requires cell edge ≥ radius (kring k=1 covers the disc)."""
+    left = _with_neighbor_cells(
+        points.select(
+            F.col(id_col).alias("a_id"),
+            F.col("lat").alias("a_lat"),
+            F.col("lon").alias("a_lon"),
+            F.col(cell_col),
+        ),
+        scheme,
+        cell_col,
+    ).drop(cell_col)
+    right = points.select(
+        F.col(id_col).alias("b_id"),
+        F.col("lat").alias("b_lat"),
+        F.col("lon").alias("b_lon"),
+        F.col(cell_col).alias("_ncell"),
+    )
+    dist = F.expr(haversine_sql("a_lat", "a_lon", "b_lat", "b_lon"))
+    return (
+        left.join(right, "_ncell")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(dist <= radius_m)
+        .select("a_id", "b_id", dist.alias("dist_m"))
+    )
+
+
+def near_pairs_salted(
+    points: DataFrame,
+    scheme: GridScheme,
+    radius_m: float,
+    n_salt: int = 8,
+    id_col: str = "doc_id",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Two-level salted radius self-join for hot-cell skew.
+
+    Each row gets a deterministic salt bucket ``b = hash(id) mod S``;
+    the join key becomes (neighbor_cell, b_left, b_right), with the
+    left side exploding all S right-buckets and the right side keeping
+    its own bucket — so a cell holding H rows runs as S² tasks of
+    (H/S)² work instead of one H² task. Result set is identical to
+    :func:`near_pairs` (asserted in tests)."""
+    salted = points.withColumn("_b", F.pmod(F.xxhash64(F.col(id_col)), n_salt))
+    left = _with_neighbor_cells(
+        salted.select(
+            F.col(id_col).alias("a_id"),
+            F.col("lat").alias("a_lat"),
+            F.col("lon").alias("a_lon"),
+            F.col(cell_col),
+            F.col("_b").alias("_ba"),
+        ),
+        scheme,
+        cell_col,
+    ).drop(cell_col)
+    left = left.withColumn(
+        "_bb", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    right = salted.select(
+        F.col(id_col).alias("b_id"),
+        F.col("lat").alias("b_lat"),
+        F.col("lon").alias("b_lon"),
+        F.col(cell_col).alias("_ncell"),
+        F.col("_b").alias("_bb"),
+    ).withColumn("_ba", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+    dist = F.expr(haversine_sql("a_lat", "a_lon", "b_lat", "b_lon"))
+    return (
+        left.join(right, ["_ncell", "_ba", "_bb"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(dist <= radius_m)
+        .select("a_id", "b_id", dist.alias("dist_m"))
+    )
