@@ -111,7 +111,7 @@ def vector_tiles(raster: DataFrame, scheme: GridScheme) -> DataFrame:
 def write_tiles(raster: DataFrame, path: str, scheme: GridScheme, coarse_shift: int = 8) -> None:
     """Partitioned tile write: coarse cell prefix as the partition
     column → storage partition pruning for spatial range scans."""
-    out = raster.withColumn(
-        "cell_prefix", (F.col("cell") / F.lit(2**coarse_shift)).cast("long")
-    )
+    # integer DIV — cell ids are near 2^53; double division would lose
+    # integer precision
+    out = raster.withColumn("cell_prefix", F.expr(f"cell DIV {2**coarse_shift}"))
     out.write.mode("overwrite").partitionBy("cell_prefix").parquet(path)
