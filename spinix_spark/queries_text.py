@@ -162,7 +162,29 @@ def _minhash_sql(shingles_sql: str, x_expr: str, explode_j: str) -> str:
 _SPARK_EXPLODE_J = f"LATERAL VIEW explode(sequence(0, {N_HASHES - 1})) tj AS j"
 _DUCK_EXPLODE_J = f"CROSS JOIN (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS j) js"
 
-Q_MINHASH_SPARK = _minhash_sql(spark_shingles(), _SPARK_X, _SPARK_EXPLODE_J)
+
+def _minhash_sql_wide(shingles_sql: str, x_expr: str) -> str:
+    """Spark-side minhash: ONE aggregation pass with 16 MIN exprs over
+    the (doc, shingle-hash) rows, then stack-unpivot to the long form —
+    avoids multiplying the exploded shingle stream ×N_HASHES (the
+    naive long-form plan shuffles 16× the data). Values are identical
+    to the long-form oracle."""
+    mins = ", ".join(
+        f"MIN(({A[j]} * x + {B[j]}) % {P}) AS mh{j}" for j in range(N_HASHES)
+    )
+    stack_args = ", ".join(
+        f"CAST({j} AS BIGINT), mh{j}" for j in range(N_HASHES)
+    )
+    return (
+        f"WITH s AS ({shingles_sql}), "
+        f"hx AS (SELECT doc_id, {x_expr} AS x FROM s), "
+        f"w AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id) "
+        f"SELECT doc_id, j, mh FROM w "
+        f"LATERAL VIEW stack({N_HASHES}, {stack_args}) t AS j, mh"
+    )
+
+
+Q_MINHASH_SPARK = _minhash_sql_wide(spark_shingles(), _SPARK_X)
 Q_MINHASH_DUCK = _minhash_sql(duck_shingles(), _DUCK_X, _DUCK_EXPLODE_J)
 
 
