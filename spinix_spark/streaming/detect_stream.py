@@ -137,6 +137,29 @@ def make_trigger_fn(repeat: int, delay_s: float, interval_s: float, times: int, 
     return update
 
 
+def streaming_tile_rollup(
+    points_stream: DataFrame,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "2 minutes",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Windowed tile raster over a points stream with late-data
+    handling: event-time watermark + tumbling window, grouped by
+    (window, cell). State for closed windows is dropped by the
+    watermark; the aggregation is partial map-side then keyed by
+    (window, cell) — the streaming form of engine/tiles.py rollup."""
+    from pyspark.sql import functions as F
+
+    return (
+        points_stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(F.col(ts_col), window_duration), F.col("cell"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.approx_count_distinct("device_id").alias("n_devices"),
+        )
+    )
+
+
 def stateful_trigger_stream(matches_stream: DataFrame, trigger_fn) -> DataFrame:
     """Keyed trigger gating over a stream of per-(device, rule) match
     rows — state sharded by the grouping key in Spark's state store."""
