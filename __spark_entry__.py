@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from spinix_spark.queries_ann import ANN_QUERIES
+from spinix_spark.queries_detect import DETECT_QUERIES
 from spinix_spark.queries_geo import GEO_QUERIES
 from spinix_spark.queries_text import TEXT_QUERIES
 
@@ -22,6 +23,7 @@ _ALL: dict[str, tuple] = {}
 _ALL.update(GEO_QUERIES)
 _ALL.update(TEXT_QUERIES)
 _ALL.update(ANN_QUERIES)
+_ALL.update(DETECT_QUERIES)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -126,6 +126,10 @@ def main() -> None:
 
     queries: dict[str, float] = {}
 
+    # warmup: spin up Python workers / JIT / codegen caches so the
+    # timed number is steady-state throughput, not JVM cold start
+    run_geo_pipeline(spark, 20_000)
+
     t0 = time.time()
     pipe_stats = run_geo_pipeline(spark, n_pages)
     t_pipe = time.time() - t0
