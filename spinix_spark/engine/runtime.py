@@ -60,7 +60,14 @@ from spinix_spark.dsl.compiler import (
     SpObjectOp,
 )
 from spinix_spark.dsl.tokens import Token
-from spinix_spark.engine.stores import DeviceSnapshot, StateStore, Zone, ZoneStore
+from spinix_spark.engine.stores import (
+    DeviceSnapshot,
+    StateStore,
+    Zone,
+    ZoneStore,
+    state_need_reset,
+    state_reset,
+)
 from spinix_spark.geo.geodesy import (
     MIN_DIST_METERS,
     SMALL_REGION_SIZE,
@@ -1037,16 +1044,9 @@ def eval_spec(
             now = int(clock(batch, i)) if clock else int(batch.datetime[i])
             if now > 0:
                 st["now"] = now
-            # NeedReset (state.go:199-211)
-            need = (
-                spec.props.reset_interval_s == 0
-                or st["last_reset"] == 0
-                or (st["now"] - st["last_reset"]) >= int(spec.props.reset_interval_s)
-            )
-            if need:
-                st["last_seen"] = 0
-                st["hits"] = 0
-                st["last_reset"] = st["now"]
+            if state_need_reset(st, spec.props.reset_interval_s):
+                state_reset(st)
+                st["last_reset"] = st["now"]  # UpdateLastResetTime
             trigger_ok[i] = _check_trigger(spec, st)
             states[i] = st
 

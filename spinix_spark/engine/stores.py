@@ -321,6 +321,23 @@ class DeviceSnapshot:
         return float(haversine_m(prev["lat"], prev["lon"], row["lat"], row["lon"]))
 
 
+def state_need_reset(st: dict, interval_s: float) -> bool:
+    """State.NeedReset (state.go:199-211): zero interval or never-reset
+    → reset; else reset when now - lastReset >= interval."""
+    if interval_s == 0:
+        return True
+    if st["last_reset"] == 0:
+        return True
+    return (st["now"] - st["last_reset"]) >= int(interval_s)
+
+
+def state_reset(st: dict) -> None:
+    """State.Reset (state.go:182-186)."""
+    st["last_reset"] = 0
+    st["last_seen"] = 0
+    st["hits"] = 0
+
+
 class StateStore:
     """Per-(device, rule) trigger state (state.go:111-127)."""
 

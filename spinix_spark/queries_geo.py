@@ -116,6 +116,26 @@ Q_HOUR_RANGE = (
     "SELECT event_id FROM events WHERE HOUR(ts) >= 9 AND HOUR(ts) <= 17"
 )
 
+# JSON scalar extraction over the events props column (dialect split:
+# Spark get_json_object vs DuckDB json_extract_string — same values)
+Q_JSON_SPARK = (
+    "SELECT event_id, CAST(get_json_object(props, '$.k') AS BIGINT) AS k "
+    "FROM events WHERE CAST(get_json_object(props, '$.k') AS BIGINT) >= 50"
+)
+Q_JSON_DUCK = (
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+    "FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50"
+)
+
+
+def _events_split(spark_sql: str, duck_sql: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        load_tables(spark, sf_dir, ["events"])
+        return spark.sql(spark_sql)
+
+    return fn, duck_sql
+
 
 def _events_shared(sql: str):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,5 +221,6 @@ GEO_QUERIES: dict[str, tuple] = {
     "attr_in_string": _events_shared(Q_ATTR_IN),
     "attr_nin_string": _events_shared(Q_ATTR_NIN),
     "attr_hour_range": _events_shared(Q_HOUR_RANGE),
+    "json_extract": _events_split(Q_JSON_SPARK, Q_JSON_DUCK),
     "device_near_device": (spark_device_near_device, DUCK_DEVICE_NEAR_DEVICE),
 }
