@@ -128,3 +128,54 @@ class GridScheme:
 
 
 DEFAULT_SCHEME = GridScheme(res=8)
+
+
+try:  # pragma: no cover - h3 not installed in this environment
+    import h3 as _h3
+
+    class H3Scheme:
+        """Same interface as GridScheme backed by real H3 cells, for
+        deployments where the ``h3`` binding exists. Cell keys are
+        H3 indexes (int64); covering = polyfill of the bbox; k-ring =
+        grid_disk. Correctness is unaffected by the scheme choice —
+        cells are a no-false-negative prefilter (SURVEY.md §2B.1) —
+        but H3's equal-area hexagons balance shuffle partitions better
+        at the poles than the equal-angle grid."""
+
+        def __init__(self, res: int = 8) -> None:
+            self.res = res
+
+        def cell_of(self, lat, lon):
+            import numpy as np
+
+            lat = np.atleast_1d(np.asarray(lat, dtype=float))
+            lon = np.atleast_1d(np.asarray(lon, dtype=float))
+            return np.array(
+                [
+                    _h3.str_to_int(_h3.latlng_to_cell(a, o, self.res))
+                    for a, o in zip(lat, lon)
+                ],
+                dtype=np.int64,
+            )
+
+        def cover_bbox(self, minlat, minlon, maxlat, maxlon):
+            poly = _h3.LatLngPoly(
+                [
+                    (minlat, minlon),
+                    (minlat, maxlon),
+                    (maxlat, maxlon),
+                    (maxlat, minlon),
+                ]
+            )
+            return [_h3.str_to_int(c) for c in _h3.polygon_to_cells(poly, self.res)]
+
+        def kring(self, cell, k=1):
+            return [
+                _h3.str_to_int(c)
+                for c in _h3.grid_disk(_h3.int_to_str(int(cell)), k)
+            ]
+
+    HAVE_H3 = True
+except ImportError:  # the offline default — GridScheme everywhere
+    H3Scheme = None
+    HAVE_H3 = False
