@@ -14,6 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from spinix_spark.queries_analytics import ANALYTICS_QUERIES
 from spinix_spark.queries_ann import ANN_QUERIES
 from spinix_spark.queries_detect import DETECT_QUERIES
 from spinix_spark.queries_geo import GEO_QUERIES
@@ -24,6 +25,7 @@ _ALL.update(GEO_QUERIES)
 _ALL.update(TEXT_QUERIES)
 _ALL.update(ANN_QUERIES)
 _ALL.update(DETECT_QUERIES)
+_ALL.update(ANALYTICS_QUERIES)
 
 
 def entry(spark: SparkSession) -> DataFrame:

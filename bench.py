@@ -63,7 +63,13 @@ def run_geo_pipeline(spark, n_pages: int) -> dict:
     from spinix_spark.io.pages import BASE_LAT, BASE_LON, synthesize_pages
 
     pages = synthesize_pages(spark, n_pages)
-    points = geoparse_points(pages).withColumn("cell", cell_column(DEFAULT_SCHEME))
+    # persist the geoparsed points: both downstream actions (detect
+    # events, tile raster) consume them — a real job would write them
+    # to the lake once; recomputing synthesis+geoparse per action
+    # would double-count the scan
+    points = (
+        geoparse_points(pages).withColumn("cell", cell_column(DEFAULT_SCHEME)).persist()
+    )
 
     engine = Engine()
     # zone near the hot cell + a second zone mid-grid
@@ -96,6 +102,7 @@ def run_geo_pipeline(spark, n_pages: int) -> dict:
     from spinix_spark.engine.tiles import point_density_raster
 
     raster_rows = point_density_raster(points).count()
+    points.unpersist()
     return {"n_events": int(n_events), "n_tiles": int(raster_rows)}
 
 

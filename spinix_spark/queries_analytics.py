@@ -1,0 +1,116 @@
+"""Analytics extensions: sessionization, exact percentiles, regex
+tokenization, MinHash similarity verification.
+
+These round out the large-scale training-data pipeline surface beyond
+the reference's operator set (the reference has no aggregations at
+all — SURVEY.md §2C): gap-based sessions over the events stream table,
+exact grouped percentiles, a BPE-ish regex tokenizer, and the
+verify-candidates stage of the MinHash/LSH dedup pipeline.
+
+Cross-engine notes (verified empirically):
+- Spark ``session_window(ts, gap)`` ≡ the LAG/island formulation in
+  DuckDB (session breaks when the gap is ≥ timeout) — bit-identical
+  session counts.
+- Spark ``percentile`` (exact, linear interpolation) ≡ DuckDB
+  ``quantile_cont`` on the same doubles.
+- The token regex sticks to RE2∩Java-compatible constructs, so
+  ``regexp_extract_all`` counts agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spinix_spark.io.derive import load_tables
+from spinix_spark.queries_text import (
+    N_HASHES,
+    Q_MINHASH_DUCK,
+    Q_MINHASH_SPARK,
+    _lsh_pairs_sql,
+)
+
+SESSION_GAP_S = 300
+
+
+def _mk(spark_sql: str, duck_sql: str, tables=("events",)):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        load_tables(spark, sf_dir, list(tables))
+        return spark.sql(spark_sql)
+
+    return fn, duck_sql
+
+
+# --- sessionization ------------------------------------------------------
+
+Q_SESS_SPARK = (
+    "SELECT user_id, COUNT(*) AS n_sessions, SUM(n) AS n_events FROM ("
+    " SELECT user_id, session_window(ts, '5 minutes') AS w, COUNT(*) AS n"
+    " FROM events GROUP BY user_id, session_window(ts, '5 minutes')) g "
+    "GROUP BY user_id"
+)
+Q_SESS_DUCK = (
+    "WITH o AS (SELECT user_id, ts, "
+    "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
+    "m AS (SELECT user_id, CASE WHEN prev IS NULL OR "
+    f"epoch(ts - prev) >= {SESSION_GAP_S} THEN 1 ELSE 0 END AS new_s FROM o) "
+    "SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, "
+    "COUNT(*) AS n_events FROM m GROUP BY user_id"
+)
+
+# --- exact grouped percentiles ------------------------------------------
+
+Q_PCT_SPARK = (
+    "SELECT event_type, percentile(value, 0.5) AS p50, "
+    "percentile(value, 0.9) AS p90, COUNT(*) AS n "
+    "FROM events GROUP BY event_type"
+)
+Q_PCT_DUCK = (
+    "SELECT event_type, quantile_cont(value, 0.5) AS p50, "
+    "quantile_cont(value, 0.9) AS p90, COUNT(*) AS n "
+    "FROM events GROUP BY event_type"
+)
+
+# --- BPE-ish regex tokenizer --------------------------------------------
+
+_TOK_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+Q_TOK_SPARK = (
+    f"SELECT doc_id, size(regexp_extract_all(text, '{_TOK_PAT}', 0)) AS n_regex_tokens "
+    "FROM documents"
+)
+Q_TOK_DUCK = (
+    f"SELECT doc_id, len(regexp_extract_all(text, '{_TOK_PAT}')) AS n_regex_tokens "
+    "FROM documents"
+)
+
+# --- MinHash similarity verification ------------------------------------
+# verify stage of the dedup pipeline: for every LSH candidate pair,
+# the estimated Jaccard = fraction of agreeing minhash components
+
+
+def _mh_sim_sql(minhash_sql: str) -> str:
+    pairs_sql = _lsh_pairs_sql(minhash_sql)
+    return (
+        f"WITH sig AS ({minhash_sql}), cand AS ({pairs_sql}) "
+        "SELECT c.a_id, c.b_id, "
+        f"CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / {N_HASHES}.0 "
+        "AS est_jaccard "
+        "FROM cand c "
+        "JOIN sig sa ON sa.doc_id = c.a_id "
+        "JOIN sig sb ON sb.doc_id = c.b_id AND sb.j = sa.j "
+        "GROUP BY c.a_id, c.b_id"
+    )
+
+
+Q_MH_SIM_SPARK = _mh_sim_sql(Q_MINHASH_SPARK)
+Q_MH_SIM_DUCK = _mh_sim_sql(Q_MINHASH_DUCK)
+
+
+ANALYTICS_QUERIES: dict[str, tuple] = {
+    "sessionize": _mk(Q_SESS_SPARK, Q_SESS_DUCK),
+    "grouped_percentiles": _mk(Q_PCT_SPARK, Q_PCT_DUCK),
+    "regex_token_count": _mk(Q_TOK_SPARK, Q_TOK_DUCK, tables=("documents",)),
+    "minhash_similarity": _mk(
+        Q_MH_SIM_SPARK, Q_MH_SIM_DUCK, tables=("documents",)
+    ),
+}
