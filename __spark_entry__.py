@@ -18,6 +18,7 @@ from spinix_spark.queries_analytics import ANALYTICS_QUERIES
 from spinix_spark.queries_ann import ANN_QUERIES
 from spinix_spark.queries_detect import DETECT_QUERIES
 from spinix_spark.queries_geo import GEO_QUERIES
+from spinix_spark.queries_relational import RELATIONAL_QUERIES
 from spinix_spark.queries_text import TEXT_QUERIES
 
 _ALL: dict[str, tuple] = {}
@@ -26,6 +27,7 @@ _ALL.update(TEXT_QUERIES)
 _ALL.update(ANN_QUERIES)
 _ALL.update(DETECT_QUERIES)
 _ALL.update(ANALYTICS_QUERIES)
+_ALL.update(RELATIONAL_QUERIES)
 
 
 def entry(spark: SparkSession) -> DataFrame:
