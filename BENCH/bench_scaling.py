@@ -47,11 +47,13 @@ spark = build_spark(cpus)
 # full warmup: spins up all Python workers, JIT, codegen caches
 run_geo_pipeline(spark, n_pages)
 walls = []
-for _ in range(3):
+for _ in range(4):
     t0 = time.time()
     stats = run_geo_pipeline(spark, n_pages)
     walls.append(time.time() - t0)
-wall = statistics.median(walls)
+# min-of-N: noise on this shared box is strictly additive (frequency
+# scaling, neighbors), so the minimum is the capacity estimator
+wall = min(walls)
 print(json.dumps({{"cpus": int(cpus), "n_pages": n_pages, "wall_s": wall,
                    "walls": walls,
                    "pages_per_sec": n_pages / wall, "stats": stats}}))
@@ -71,11 +73,11 @@ def hw_capacity(procs: int, n: int = 1_500_000) -> float:
     with multiprocessing.Pool(procs) as p:
         p.map(_burn, [1000] * procs)  # warm
         walls = []
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.time()
             p.map(_burn, [n] * procs)
             walls.append(time.time() - t0)
-    wall = statistics.median(walls)
+    wall = min(walls)
     return procs * n / wall
 
 

@@ -111,6 +111,35 @@ class Engine:
         self.before_detect = None
         self.after_detect = None
 
+    @classmethod
+    def from_frames(cls, zones_df, rules_df, scheme: GridScheme = DEFAULT_SCHEME) -> "Engine":
+        """Build an engine from catalog tables (FIXTURES.md §3/§4
+        schemas): zones ``(object_id, layer_id, kind, geojson)`` and
+        rules ``(rule_id, spec)``. This is the migration path for a
+        reference user: their GeoJSON objects and DSL rule strings load
+        unchanged. Accepts Spark or pandas DataFrames (dimension-sized
+        → collected to the driver, then broadcast by the pipeline)."""
+        from spinix_spark.engine.stores import zone_from_geojson
+
+        engine = cls(scheme=scheme)
+        z_rows = (
+            zones_df.to_dict("records")
+            if hasattr(zones_df, "to_dict")
+            else [r.asDict() for r in zones_df.collect()]
+        )
+        for r in z_rows:
+            engine.zones.add(
+                zone_from_geojson(r["object_id"], r["layer_id"], r["geojson"])
+            )
+        r_rows = (
+            rules_df.to_dict("records")
+            if hasattr(rules_df, "to_dict")
+            else [r.asDict() for r in rules_df.collect()]
+        )
+        for r in r_rows:
+            engine.add_rule(r["spec"], rule_id=r["rule_id"])
+        return engine
+
     # --- rule registration (engine.go:110-188) --------------------------
 
     def _referenced_object_ids(self, spec: CompiledSpec) -> list[str]:

@@ -1011,25 +1011,24 @@ def eval_node(node, batch: DeviceBatch, ref: Reference, layer: str) -> NodeResul
 # --- spec evaluation (fold + trigger state, runtime.go:133-236) ----------
 
 
-def eval_spec(
+def eval_spec_full(
     spec: CompiledSpec,
     batch_pdf: pd.DataFrame,
     ref: Reference,
     rule_id: str,
     clock=None,
-) -> tuple[np.ndarray, list[list[dict]]]:
-    """Evaluate one compiled rule against a batch.
-
-    Returns (ok bool (N,), matches per device) where each match is a
-    dict (ok, left_kw, right_kw, op, left_refs, right_refs) — the
-    golden comparison tuple of assertRuntimeTestCase
-    (runtime_test.go:196-237).
-    """
+):
+    """Low-level evaluation: returns
+    ``(final_ok, node_results, recorded, gate)`` where ``gate`` is the
+    layer∧trigger mask and ``recorded[j]`` marks devices for which
+    node j's Match would be captured (AND-skip semantics,
+    runtime.go:186-231). Callers build match rows columnar from these
+    arrays — no per-row Python on the hot path."""
     batch = DeviceBatch(batch_pdf)
     n = batch.n
-    matches: list[list[dict]] = [[] for _ in range(n)]
     if n == 0 or not spec.nodes:
-        return np.zeros(0, dtype=bool), matches
+        z = np.zeros(0, dtype=bool)
+        return z, [], [], z
 
     layer_ok = batch.layer_id == spec.props.layer
 
@@ -1067,29 +1066,6 @@ def eval_spec(
 
     final_ok = acc & layer_ok & trigger_ok
 
-    # only devices with at least one recorded-true node produce match
-    # rows — skip the (typically much larger) rest entirely
-    any_hit = np.zeros(n, dtype=bool)
-    for j, res in enumerate(node_results):
-        any_hit |= recorded[j] & res.ok
-    for i in np.nonzero(any_hit & layer_ok & trigger_ok)[0]:
-        for j, res in enumerate(node_results):
-            if recorded[j][i] and res.ok[i]:
-                matches[i].append(
-                    {
-                        "ok": True,
-                        "left_kw": str(res.left_kw),
-                        "right_kw": str(res.right_kw),
-                        "op": str(res.op),
-                        "left_refs": [str(batch.device_id[i])]
-                        if res.left_is_target
-                        else [],
-                        "right_refs": list(res.right_refs[i])
-                        if res.right_refs is not None
-                        else [],
-                    }
-                )
-
     # changeState after evaluation, regardless of match (runtime.go:224-235)
     if spec.is_stateful:
         for i in range(n):
@@ -1101,6 +1077,52 @@ def eval_spec(
                 st["hits"] += 1
             ref.states.update(st)
 
+    return final_ok, node_results, recorded, layer_ok & trigger_ok
+
+
+def eval_spec(
+    spec: CompiledSpec,
+    batch_pdf: pd.DataFrame,
+    ref: Reference,
+    rule_id: str,
+    clock=None,
+) -> tuple[np.ndarray, list[list[dict]]]:
+    """Evaluate one compiled rule against a batch.
+
+    Returns (ok bool (N,), matches per device) where each match is a
+    dict (ok, left_kw, right_kw, op, left_refs, right_refs) — the
+    golden comparison tuple of assertRuntimeTestCase
+    (runtime_test.go:196-237).
+    """
+    final_ok, node_results, recorded, gate = eval_spec_full(
+        spec, batch_pdf, ref, rule_id, clock=clock
+    )
+    n = final_ok.shape[0]
+    matches: list[list[dict]] = [[] for _ in range(n)]
+    if n == 0:
+        return final_ok, matches
+    device_ids = batch_pdf["device_id"].to_numpy(dtype=object)
+
+    any_hit = np.zeros(n, dtype=bool)
+    for j, res in enumerate(node_results):
+        any_hit |= recorded[j] & res.ok
+    for i in np.nonzero(any_hit & gate)[0]:
+        for j, res in enumerate(node_results):
+            if recorded[j][i] and res.ok[i]:
+                matches[i].append(
+                    {
+                        "ok": True,
+                        "left_kw": str(res.left_kw),
+                        "right_kw": str(res.right_kw),
+                        "op": str(res.op),
+                        "left_refs": [str(device_ids[i])]
+                        if res.left_is_target
+                        else [],
+                        "right_refs": list(res.right_refs[i])
+                        if res.right_refs is not None
+                        else [],
+                    }
+                )
     return final_ok, matches
 
 

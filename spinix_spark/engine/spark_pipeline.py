@@ -41,8 +41,9 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from spinix_spark.dsl.tokens import Token
 from spinix_spark.engine.detect import Engine
-from spinix_spark.engine.runtime import Reference, eval_spec
+from spinix_spark.engine.runtime import Reference, eval_spec_full
 from spinix_spark.engine.stores import DeviceSnapshot, StateStore
 
 OUT_SCHEMA = StructType(
@@ -66,15 +67,65 @@ OUT_SCHEMA = StructType(
 )
 
 
+def _bbox_pred(b, pad_lat: float = 0.0, pad_lon: float = 0.0) -> str:
+    return (
+        f"(lat >= {float(b[0]) - pad_lat!r} AND lat <= {float(b[2]) + pad_lat!r}"
+        f" AND lon >= {float(b[1]) - pad_lon!r} AND lon <= {float(b[3]) + pad_lon!r})"
+    )
+
+
+_POSITIVE_ZONE_OPS = (Token.IN, Token.INTERSECTS, Token.NEAR)
+
+
+def _rule_prune_expr_for(engine: Engine, rule) -> str:
+    """Catalyst-pushable prune predicate for one rule.
+
+    Base form is the rule's geofence bbox (≙ Rules.Walk,
+    rule.go:229-249). When the rule's fold is all-AND and contains a
+    non-negated zone op with explicit refs, zone proximity is a
+    NECESSARY condition for a match, so the prune tightens to the
+    union of that node's zone bboxes padded by the device-buffer
+    reach — typically orders of magnitude fewer rows cross the Arrow
+    boundary into the Python refinement stage. Negated verbs
+    (NINTERSECTS/NIN/NNEAR) match on far-away rows by design
+    (SURVEY.md §2A.1) so rules containing only those keep the wide
+    bbox."""
+    import math
+
+    from spinix_spark.dsl.compiler import SpDevicesObjectOp, SpObjectOp
+
+    base = _bbox_pred(rule.bbox)
+    if any(op is not Token.AND for op in rule.spec.ops):
+        return base
+    for node in rule.spec.nodes:
+        if (
+            isinstance(node, (SpObjectOp, SpDevicesObjectOp))
+            and node.op in _POSITIVE_ZONE_OPS
+            and node.right.refs
+            and not node.right.all
+        ):
+            zones = [
+                engine.zones.lookup(r)
+                for r in node.right.refs
+                if engine.zones.lookup(r) is not None
+            ]
+            if not zones:
+                continue
+            meters = node.left.meters() + 1.0
+            parts = []
+            for z in zones:
+                ref_lat = max(abs(float(z.bbox[0])), abs(float(z.bbox[2])))
+                pad_lat = meters / 110574.0
+                coslat = math.cos(math.radians(min(ref_lat, 84.0)))
+                pad_lon = meters / (111320.0 * max(coslat, 0.05))
+                parts.append(_bbox_pred(z.bbox, pad_lat, pad_lon))
+            return f"({base} AND ({' OR '.join(parts)}))"
+    return base
+
+
 def _rule_prune_expr(engine: Engine) -> str:
-    """OR of per-rule bbox predicates — Catalyst-pushable Rules.Walk."""
-    parts = []
-    for rule in engine.rules.values():
-        b = rule.bbox
-        parts.append(
-            f"(lat >= {b[0]!r} AND lat <= {b[2]!r}"
-            f" AND lon >= {b[1]!r} AND lon <= {b[3]!r})"
-        )
+    """OR over per-rule prune predicates — pushed into the scan."""
+    parts = [_rule_prune_expr_for(engine, rule) for rule in engine.rules.values()]
     return " OR ".join(parts) if parts else "false"
 
 
@@ -114,7 +165,7 @@ def detect_batch_spark(
         for pdf in batches:
             if pdf.empty:
                 continue
-            out_rows: list[dict] = []
+            out_frames: list[pd.DataFrame] = []
             lat = pdf["lat"].to_numpy(dtype=np.float64)
             lon = pdf["lon"].to_numpy(dtype=np.float64)
             for rule_id, spec, bbox in p["rules"]:
@@ -127,9 +178,10 @@ def detect_batch_spark(
                 if not mask.any():
                     continue
                 sub = pdf.loc[mask].reset_index(drop=True)
-                ok, matches = eval_spec(spec, sub, ref, rule_id)
-                hit_idx = np.nonzero(ok)[0]
-                if hit_idx.size == 0:
+                ok, node_results, recorded, _gate = eval_spec_full(
+                    spec, sub, ref, rule_id
+                )
+                if not ok.any():
                     continue
                 urls = (
                     sub["url"].to_numpy(dtype=object)
@@ -142,49 +194,63 @@ def detect_batch_spark(
                     if "datetime" in sub
                     else np.zeros(len(sub), dtype=np.int64)
                 )
-                for i in hit_idx:
-                    for m in matches[i]:
-                        out_rows.append(
+                # columnar match-row emission: one vectorized slice per
+                # node instead of a per-event Python loop
+                for j, res in enumerate(node_results):
+                    idx = np.nonzero(ok & recorded[j] & res.ok)[0]
+                    if idx.size == 0:
+                        continue
+                    refs_col = (
+                        [list(res.right_refs[i]) for i in idx]
+                        if res.right_refs is not None
+                        else [[] for _ in range(idx.size)]
+                    )
+                    out_frames.append(
+                        pd.DataFrame(
                             {
                                 "row_type": "event",
-                                "url": urls[i],
-                                "device_id": dids[i],
+                                "url": urls[idx],
+                                "device_id": dids[idx],
                                 "rule_id": rule_id,
                                 "spec": spec.source,
-                                "ok": m["ok"],
-                                "left_kw": m["left_kw"],
-                                "right_kw": m["right_kw"],
-                                "op": m["op"],
-                                "right_refs": m["right_refs"],
-                                "datetime": int(dts[i]),
+                                "ok": True,
+                                "left_kw": str(res.left_kw),
+                                "right_kw": str(res.right_kw),
+                                "op": str(res.op),
+                                "right_refs": refs_col,
+                                "datetime": dts[idx],
                                 "last_seen": 0,
                                 "last_reset": 0,
                                 "hits": 0,
                                 "now": 0,
                             }
                         )
-            for st in states.snapshot():
-                out_rows.append(
-                    {
-                        "row_type": "state",
-                        "url": "",
-                        "device_id": st["device_id"],
-                        "rule_id": st["rule_id"],
-                        "spec": "",
-                        "ok": True,
-                        "left_kw": "",
-                        "right_kw": "",
-                        "op": "",
-                        "right_refs": [],
-                        "datetime": 0,
-                        "last_seen": int(st["last_seen"]),
-                        "last_reset": int(st["last_reset"]),
-                        "hits": int(st["hits"]),
-                        "now": int(st["now"]),
-                    }
+                    )
+            snap = states.snapshot()
+            if snap:
+                out_frames.append(
+                    pd.DataFrame(
+                        {
+                            "row_type": "state",
+                            "url": "",
+                            "device_id": [s["device_id"] for s in snap],
+                            "rule_id": [s["rule_id"] for s in snap],
+                            "spec": "",
+                            "ok": True,
+                            "left_kw": "",
+                            "right_kw": "",
+                            "op": "",
+                            "right_refs": [[] for _ in snap],
+                            "datetime": 0,
+                            "last_seen": [int(s["last_seen"]) for s in snap],
+                            "last_reset": [int(s["last_reset"]) for s in snap],
+                            "hits": [int(s["hits"]) for s in snap],
+                            "now": [int(s["now"]) for s in snap],
+                        }
+                    )
                 )
-            if out_rows:
-                yield pd.DataFrame(out_rows)
+            if out_frames:
+                yield pd.concat(out_frames, ignore_index=True)
 
     return pruned.mapInPandas(process, schema=OUT_SCHEMA)
 
