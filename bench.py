@@ -118,6 +118,9 @@ HEADLINE_QUERIES = [
     "simhash",
     "ann_brute_topk",
     "embed_neardup_pairs",
+    "sessionize",
+    "pricing_summary",
+    "regex_token_count",
 ]
 
 
