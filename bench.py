@@ -91,8 +91,10 @@ def run_geo_pipeline(spark, n_pages: int) -> dict:
         " c5vj26evvhfjvfseauk0) and speed range [30 .. 170]",
         rule_id="r" + "0" * 19,
     )
+    # point-device rule: compiles to the all-Catalyst path
+    # (engine/sql_compile.py) — no Python at all for this rule
     engine.add_rule(
-        "device :radius 100m NEAR polygon(c5vj26evvhfjvfseaulg)",
+        "device NEAR polygon(c5vj26evvhfjvfseaulg)",
         rule_id="r" + "1" * 19,
     )
 

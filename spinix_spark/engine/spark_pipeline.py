@@ -133,28 +133,103 @@ def _has_stateful(engine: Engine) -> bool:
     return any(r.spec.is_stateful for r in engine.rules.values())
 
 
+def _sql_rule_events(points: DataFrame, engine: Engine, rule, plan) -> DataFrame:
+    """All-Catalyst event rows for one compiled-to-SQL rule: prune →
+    predicate/fold/refs columns → per-node filtered projections,
+    unioned. Whole-stage codegen end to end."""
+    points.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+    cols = set(points.columns)
+    url_sql = "url" if "url" in cols else "''"
+    dt_sql = "CAST(datetime AS BIGINT)" if "datetime" in cols else "CAST(0 AS BIGINT)"
+    pruned = points.where(F.expr(_rule_prune_expr_for(engine, rule)))
+    sel = ["*", f"{plan.final_sql} AS _final"]
+    for j, ns in enumerate(plan.nodes):
+        sel.append(f"{ns.ok_sql} AS _ok{j}")
+        sel.append(f"{plan.recorded_sql[j]} AS _rec{j}")
+        sel.append(f"{ns.refs_sql} AS _refs{j}")
+    base = pruned.selectExpr(*sel)
+    spec_lit = rule.spec.source.replace("'", "''")
+    outs = []
+    for j, ns in enumerate(plan.nodes):
+        outs.append(
+            base.where(F.expr(f"_final AND _rec{j} AND _ok{j}")).selectExpr(
+                "'event' AS row_type",
+                f"{url_sql} AS url",
+                "device_id",
+                f"'{rule.rule_id}' AS rule_id",
+                f"'{spec_lit}' AS spec",
+                "true AS ok",
+                f"'{ns.left_kw}' AS left_kw",
+                f"'{ns.right_kw}' AS right_kw",
+                f"'{ns.op}' AS op",
+                f"_refs{j} AS right_refs",
+                f"{dt_sql} AS datetime",
+                "CAST(0 AS BIGINT) AS last_seen",
+                "CAST(0 AS BIGINT) AS last_reset",
+                "CAST(0 AS BIGINT) AS hits",
+                "CAST(0 AS BIGINT) AS now",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
 def detect_batch_spark(
     points: DataFrame,
     engine: Engine,
     state_rows: list[dict] | None = None,
+    prefer_sql: bool = True,
 ) -> DataFrame:
     """Evaluate every registered rule over a points DataFrame.
 
     Returns the union output (row_type 'event' per golden match row +
     'state' for updated trigger states). Use :func:`split_output` to
     get (events, states).
+
+    Per-rule physical strategy: rules whose shape compiles to pure
+    Catalyst expressions (engine/sql_compile.py) run entirely
+    JVM-side; the rest run through the vectorized-kernel mapInPandas
+    path. Both produce identical rows (cross-path parity is tested);
+    ``prefer_sql=False`` forces the kernel path everywhere.
     """
+    from spinix_spark.engine.sql_compile import try_compile_rule_sql
+
+    sql_planned = []
+    kernel_rules = []
+    for r in engine.rules.values():
+        plan = try_compile_rule_sql(engine, r) if prefer_sql else None
+        if plan is not None:
+            sql_planned.append((r, plan))
+        else:
+            kernel_rules.append(r)
+
+    sql_outs = [
+        _sql_rule_events(points, engine, r, plan) for r, plan in sql_planned
+    ]
+    if not kernel_rules:
+        if not sql_outs:
+            return points.sparkSession.createDataFrame([], OUT_SCHEMA)
+        out = sql_outs[0]
+        for o in sql_outs[1:]:
+            out = out.unionAll(o)
+        return out
+
     sc = points.sparkSession.sparkContext
     payload = {
         "zones": engine.zones,
         "snapshot": engine.devices,
-        "rules": [(r.rule_id, r.spec, r.bbox) for r in engine.rules.values()],
+        "rules": [(r.rule_id, r.spec, r.bbox) for r in kernel_rules],
         "states": state_rows or [],
     }
     b = sc.broadcast(payload)
 
-    pruned = points.where(F.expr(_rule_prune_expr(engine)))
-    if _has_stateful(engine):
+    kernel_prune = " OR ".join(
+        _rule_prune_expr_for(engine, r) for r in kernel_rules
+    )
+    pruned = points.where(F.expr(kernel_prune))
+    if any(r.spec.is_stateful for r in kernel_rules):
         pruned = pruned.repartition("device_id")
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -252,7 +327,10 @@ def detect_batch_spark(
             if out_frames:
                 yield pd.concat(out_frames, ignore_index=True)
 
-    return pruned.mapInPandas(process, schema=OUT_SCHEMA)
+    out = pruned.mapInPandas(process, schema=OUT_SCHEMA)
+    for o in sql_outs:
+        out = out.unionAll(o)
+    return out
 
 
 def split_output(out: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -49,15 +49,22 @@ def round50_sql(expr: str, unit: float = 50.0) -> str:
     return f"(FLOOR({expr} / {u} + 0.5) * {u})"
 
 
-def point_in_ring_sql(lat_col: str, lon_col: str, ring: Sequence[tuple[float, float]]) -> str:
+def point_in_ring_sql(
+    lat_col: str,
+    lon_col: str,
+    ring: Sequence[tuple[float, float]],
+    inclusive: bool = False,
+) -> str:
     """Ray-cast crossing-count point-in-polygon for a FIXED closed ring
     [(lat, lon), ...] (first == last). Returns a boolean SQL expr.
 
     Uses the identical straddle + x-intersection arithmetic as the
-    vectorized kernel (geo/predicates.py:points_in_ring), minus the
-    on-edge clause (SQL form is boundary-exclusive; inputs are
-    synthesized off-boundary)."""
+    vectorized kernel (geo/predicates.py:points_in_ring). With
+    ``inclusive=True`` the kernel's on-edge clause (collinear + in
+    edge bbox) is appended, making the SQL form bit-identical to the
+    NumPy kernel including boundary points."""
     terms = []
+    edge_terms = []
     for (ay, ax), (by, bx) in zip(ring[:-1], ring[1:]):
         if ay == by and ax == bx:
             continue
@@ -66,8 +73,22 @@ def point_in_ring_sql(lat_col: str, lon_col: str, ring: Sequence[tuple[float, fl
         terms.append(
             f"(CASE WHEN {straddle} AND {lon_col} < {xint} THEN 1 ELSE 0 END)"
         )
+        if inclusive:
+            cross = (
+                f"(({bx!r} - {ax!r}) * ({lat_col} - {ay!r})"
+                f" - ({by!r} - {ay!r}) * ({lon_col} - {ax!r}))"
+            )
+            lo_x, hi_x = (ax, bx) if ax <= bx else (bx, ax)
+            lo_y, hi_y = (ay, by) if ay <= by else (by, ay)
+            edge_terms.append(
+                f"({cross} = 0.0 AND {lon_col} >= {lo_x!r} AND {lon_col} <= {hi_x!r}"
+                f" AND {lat_col} >= {lo_y!r} AND {lat_col} <= {hi_y!r})"
+            )
     total = " + ".join(terms) if terms else "0"
-    return f"((({total}) % 2) = 1)"
+    crossing = f"((({total}) % 2) = 1)"
+    if inclusive and edge_terms:
+        return f"({crossing} OR {' OR '.join(edge_terms)})"
+    return crossing
 
 
 def bbox_contains_sql(

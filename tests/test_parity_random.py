@@ -61,6 +61,12 @@ def _build_engine(zones) -> Engine:
         f" {{ :center {zones[3][1]} {zones[3][2]} :radius 100km }}",
         rule_id="r" + "1" * 19,
     )
+    # point-device + explicit refs + attribute AND: eligible for the
+    # all-Catalyst compiled path (engine/sql_compile.py)
+    engine.add_rule(
+        f"device INTERSECTS polygon({ids[4]}, {ids[5]}) and speed range [10 .. 180]",
+        rule_id="r" + "2" * 19,
+    )
     return engine
 
 
@@ -99,6 +105,27 @@ def test_local_vs_distributed_parity(spark):
 
         assert _key(local_rows) == _key(dist_rows), f"seed {seed} diverged"
         assert len(local_rows) > 0, f"seed {seed} produced no matches (weak test)"
+
+
+def test_sql_path_equals_kernel_path(spark):
+    """The all-Catalyst compiled rule path must produce exactly the
+    kernel (mapInPandas) path's rows."""
+    from spinix_spark.engine.sql_compile import try_compile_rule_sql
+
+    for seed in (3, 11):
+        zones, pts = _random_world(seed)
+        engine = _build_engine(zones)
+        # the eligible rule must actually compile to SQL
+        assert try_compile_rule_sql(engine, engine.rules["r" + "2" * 19]) is not None
+        sdf = spark.createDataFrame(pts).repartition(5)
+        ev_sql, _ = split_output(detect_batch_spark(sdf, engine, prefer_sql=True))
+        engine2 = _build_engine(zones)
+        ev_kernel, _ = split_output(
+            detect_batch_spark(sdf, engine2, prefer_sql=False)
+        )
+        assert _key([r.asDict() for r in ev_sql.collect()]) == _key(
+            [r.asDict() for r in ev_kernel.collect()]
+        ), f"seed {seed}: SQL path diverged from kernel path"
 
 
 def test_partitioned_sinks_roundtrip(spark, tmp_path):
