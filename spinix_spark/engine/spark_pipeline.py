@@ -123,8 +123,10 @@ def _rule_prune_expr_for(engine: Engine, rule) -> str:
     return base
 
 
-def _rule_prune_expr(engine: Engine) -> str:
-    """OR over per-rule prune predicates — pushed into the scan."""
+def rules_prune_expr(engine: Engine) -> str:
+    """OR over every rule's prune predicate — the standalone Rules.Walk
+    filter (useful for pre-filtering a points table before any
+    per-rule processing)."""
     parts = [_rule_prune_expr_for(engine, rule) for rule in engine.rules.values()]
     return " OR ".join(parts) if parts else "false"
 
