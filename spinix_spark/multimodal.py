@@ -99,6 +99,88 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(process, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """Image resize stage. Real implementation needs PIL (absent here —
+    STUB); the fake path emits a deterministic payload derived from the
+    source bytes + target dims so partitioning/batching is testable.
+    Plumbing notes for the real op: the Arrow batch carries raw bytes
+    to the worker once; output partitioning is inherited (narrow op)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf[pdf["kind"] == "image"]
+            if pdf.empty:
+                continue
+            if not fake:
+                raise NotImplementedError("image resize requires PIL")
+            tag = f"resized:{width}x{height}:".encode()
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": [
+                        tag + hashlib.sha1(p).digest() for p in pdf["payload"]
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(process, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4, fake: bool = True) -> DataFrame:
+    """Video frame sampling: one row per sampled frame (1→N explode in
+    the Python stage). Real decode needs ffmpeg (absent — STUB); the
+    fake path derives N deterministic frame payloads + timestamps from
+    the source bytes."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf[pdf["kind"] == "video"]
+            if pdf.empty:
+                continue
+            if not fake:
+                raise NotImplementedError("frame sampling requires ffmpeg")
+            rows = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for k in range(n_frames):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(k)
+                    rows["ts_ms"].append(k * 1000)
+                    rows["frame"].append(
+                        hashlib.sha1(payload + bytes([k])).digest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(process, schema=FRAME_SCHEMA)
+
+
 def media_from_documents(documents: DataFrame) -> DataFrame:
     """Synthesize a media table from documents (text bytes as the
     opaque payload) — deterministic fixture for plumbing tests."""

@@ -51,6 +51,31 @@ def test_multimodal_features(spark):
     )
 
 
+def test_resize_and_frame_sample(spark):
+    from spinix_spark.multimodal import resize_images, sample_frames
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = media_from_documents(docs)
+    n_img = media.where("kind = 'image'").count()
+    n_vid = media.where("kind = 'video'").count()
+
+    resized = resize_images(media, 224, 224)
+    rows = resized.collect()
+    assert len(rows) == n_img
+    assert all(r.width == 224 and r.height == 224 for r in rows)
+    assert all(bytes(r.payload).startswith(b"resized:224x224:") for r in rows)
+
+    frames = sample_frames(media, n_frames=3)
+    frows = frames.collect()
+    assert len(frows) == n_vid * 3
+    assert sorted({r.frame_idx for r in frows}) == [0, 1, 2]
+    # deterministic: same media → same frame bytes
+    frows2 = sample_frames(media_from_documents(docs), n_frames=3).collect()
+    assert sorted(bytes(r.frame) for r in frows) == sorted(
+        bytes(r.frame) for r in frows2
+    )
+
+
 G3_RING = np.array(
     [
         (42.9238589, -72.2800060),
