@@ -53,6 +53,20 @@ Q_DEDUP_EXACT = (
 
 Q_FINGERPRINT = "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents"
 
+# Karp-Rabin rolling hash over characters: h = (h*131 + ascii(c)) mod P.
+# Same left fold in both engines → identical 31-bit fingerprints.
+Q_ROLLHASH_SPARK = (
+    "SELECT doc_id, aggregate(sequence(1, length(text)), CAST(0 AS BIGINT), "
+    f"(h, i) -> (h * 131 + ascii(substring(text, i, 1))) % {P}) AS roll_hash "
+    "FROM documents"
+)
+Q_ROLLHASH_DUCK = (
+    "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(generate_series(1, length(text)), "
+    "i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), "
+    f"(h, c) -> (h * 131 + c) % {P}) AS roll_hash FROM documents"
+)
+
 Q_TOKEN_COUNT = (
     "SELECT doc_id, "
     "(LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) + 1 AS n_tokens, "
@@ -249,6 +263,7 @@ Q_SIMHASH_DUCK = _simhash_sql(_unigrams(False), _DUCK_X, _DUCK_EXPLODE_K)
 TEXT_QUERIES: dict[str, tuple] = {
     "dedup_exact": _shared(Q_DEDUP_EXACT),
     "doc_fingerprint": _shared(Q_FINGERPRINT),
+    "rolling_fingerprint": _split(Q_ROLLHASH_SPARK, Q_ROLLHASH_DUCK),
     "token_count": _shared(Q_TOKEN_COUNT),
     "quality_score": _shared(Q_QUALITY),
     "lang_id": _shared(Q_LANG_ID),
