@@ -25,7 +25,6 @@ from spinix_spark.io.derive import load_tables
 from spinix_spark.queries_text import (
     N_HASHES,
     Q_MINHASH_DUCK,
-    Q_MINHASH_SPARK,
     _lsh_pairs_sql,
 )
 
@@ -88,10 +87,9 @@ Q_TOK_DUCK = (
 # the estimated Jaccard = fraction of agreeing minhash components
 
 
-def _mh_sim_sql(minhash_sql: str) -> str:
-    pairs_sql = _lsh_pairs_sql(minhash_sql)
+def _mh_sim_from(sig_source: str, pairs_sql: str) -> str:
     return (
-        f"WITH sig AS ({minhash_sql}), cand AS ({pairs_sql}) "
+        f"WITH sig AS (SELECT * FROM {sig_source}), cand AS ({pairs_sql}) "
         "SELECT c.a_id, c.b_id, "
         f"CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / {N_HASHES}.0 "
         "AS est_jaccard "
@@ -102,15 +100,21 @@ def _mh_sim_sql(minhash_sql: str) -> str:
     )
 
 
-Q_MH_SIM_SPARK = _mh_sim_sql(Q_MINHASH_SPARK)
-Q_MH_SIM_DUCK = _mh_sim_sql(Q_MINHASH_DUCK)
+Q_MH_SIM_DUCK = _mh_sim_from(f"({Q_MINHASH_DUCK})", _lsh_pairs_sql(Q_MINHASH_DUCK))
+
+
+def spark_mh_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verify stage over cached signatures (Spark inlines CTEs per
+    reference; the cache avoids recomputing the shingle pipeline 4×)."""
+    from spinix_spark.queries_text import _cached_signatures, _lsh_pairs_from
+
+    _cached_signatures(spark, sf_dir)
+    return spark.sql(_mh_sim_from("mh_sig", _lsh_pairs_from("mh_sig")))
 
 
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "sessionize": _mk(Q_SESS_SPARK, Q_SESS_DUCK),
     "grouped_percentiles": _mk(Q_PCT_SPARK, Q_PCT_DUCK),
     "regex_token_count": _mk(Q_TOK_SPARK, Q_TOK_DUCK, tables=("documents",)),
-    "minhash_similarity": _mk(
-        Q_MH_SIM_SPARK, Q_MH_SIM_DUCK, tables=("documents",)
-    ),
+    "minhash_similarity": (spark_mh_similarity, Q_MH_SIM_DUCK),
 }

@@ -202,6 +202,26 @@ Q_MINHASH_SPARK = _minhash_sql_wide(spark_shingles(), _SPARK_X)
 Q_MINHASH_DUCK = _minhash_sql(duck_shingles(), _DUCK_X, _DUCK_EXPLODE_J)
 
 
+def _lsh_pairs_from(mh_source: str) -> str:
+    """LSH band-bucket pair SQL over a minhash source (subquery or
+    view/table name)."""
+    rows_per_band = N_HASHES // BANDS
+    return (
+        f"WITH mh AS (SELECT * FROM {mh_source}), "
+        "bk AS (SELECT doc_id, CAST(FLOOR(j / "
+        f"{float(rows_per_band)!r}) AS BIGINT) AS band, "
+        + "CONCAT_WS(',', "
+        + ", ".join(
+            f"CAST(MIN(CASE WHEN j % {rows_per_band} = {r} THEN mh END) AS STRING)"
+            for r in range(rows_per_band)
+        )
+        + ") AS bucket FROM mh GROUP BY doc_id, CAST(FLOOR(j / "
+        f"{float(rows_per_band)!r}) AS BIGINT)) "
+        "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bk a "
+        "JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"
+    )
+
+
 def _lsh_pairs_sql(minhash_sql: str) -> str:
     rows_per_band = N_HASHES // BANDS
     return (
@@ -222,6 +242,21 @@ def _lsh_pairs_sql(minhash_sql: str) -> str:
 
 Q_LSH_SPARK = _lsh_pairs_sql(Q_MINHASH_SPARK)
 Q_LSH_DUCK = _lsh_pairs_sql(Q_MINHASH_DUCK)
+
+
+def _cached_signatures(spark: SparkSession, sf_dir: str, view: str = "mh_sig"):
+    """Compute + cache the minhash signatures once per session/sf —
+    Spark inlines (re-computes) CTEs per reference, so the LSH
+    self-join would otherwise evaluate the shingle pipeline twice."""
+    load_tables(spark, sf_dir, ["documents"])
+    sig = spark.sql(Q_MINHASH_SPARK).cache()
+    sig.createOrReplaceTempView(view)
+    return sig
+
+
+def spark_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _cached_signatures(spark, sf_dir)
+    return spark.sql(_lsh_pairs_from("mh_sig"))
 
 
 def _unigrams(spark_side: bool, extra: str = "") -> str:
@@ -269,6 +304,6 @@ TEXT_QUERIES: dict[str, tuple] = {
     "lang_id": _shared(Q_LANG_ID),
     "ngram_jaccard_pairs": _split(Q_JACCARD_SPARK, Q_JACCARD_DUCK),
     "minhash_signatures": _split(Q_MINHASH_SPARK, Q_MINHASH_DUCK),
-    "minhash_lsh_pairs": _split(Q_LSH_SPARK, Q_LSH_DUCK),
+    "minhash_lsh_pairs": (spark_lsh_pairs, Q_LSH_DUCK),
     "simhash": _split(Q_SIMHASH_SPARK, Q_SIMHASH_DUCK),
 }
