@@ -112,7 +112,19 @@ def spark_mh_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_mh_sim_from("mh_sig", _lsh_pairs_from("mh_sig")))
 
 
+# hypertable-style time-bucket rollup (continuous-aggregate shape):
+# map-side partial agg → one shuffle on (bucket, type); incremental
+# refresh = re-running only the chunks whose manifests are invalidated
+# (run/checkpoint.py)
+Q_TIME_BUCKET = (
+    "SELECT date_trunc('hour', ts) AS bucket, event_type, "
+    "COUNT(*) AS n, SUM(CAST(value AS DECIMAL(20,2))) AS total_value "
+    "FROM events GROUP BY date_trunc('hour', ts), event_type"
+)
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
+    "time_bucket_rollup": _mk(Q_TIME_BUCKET, Q_TIME_BUCKET),
     "sessionize": _mk(Q_SESS_SPARK, Q_SESS_DUCK),
     "grouped_percentiles": _mk(Q_PCT_SPARK, Q_PCT_DUCK),
     "regex_token_count": _mk(Q_TOK_SPARK, Q_TOK_DUCK, tables=("documents",)),
