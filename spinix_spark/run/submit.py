@@ -40,6 +40,8 @@ def package(dist_dir: str) -> str:
 def run_job(args: argparse.Namespace) -> dict:
     from pyspark.sql import SparkSession
 
+    owns_session = SparkSession.getActiveSession() is None
+
     from spinix_spark.engine.detect import Engine
     from spinix_spark.engine.spark_pipeline import detect_batch_spark, split_output
     from spinix_spark.engine.stores import zone_from_ring
@@ -85,7 +87,8 @@ def run_job(args: argparse.Namespace) -> dict:
 
     runner = ChunkedRunner(args.out, args.n_chunks)
     summary = runner.run(spark, make_chunk, transform)
-    spark.stop()
+    if owns_session:  # don't stop a session we joined (e.g. under pytest)
+        spark.stop()
     return summary
 
 
