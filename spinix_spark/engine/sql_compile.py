@@ -33,6 +33,7 @@ from dataclasses import dataclass
 from spinix_spark.dsl import ast_nodes as ast
 from spinix_spark.dsl.compiler import (
     CompiledSpec,
+    EqualDevicesOp,
     EqualFloatOp,
     EqualIntOp,
     EqualObjectOp,
@@ -45,6 +46,8 @@ from spinix_spark.dsl.compiler import (
     RangeFloatOp,
     RangeIntOp,
     RangeTimeOp,
+    SpDDevicesOp,
+    SpDevicesOp,
     SpObjectOp,
 )
 from spinix_spark.dsl.tokens import Token
@@ -188,7 +191,135 @@ def _refs_array_sql(pairs: list[tuple[str, str]]) -> str:
     return f"filter(array({cases}), x -> x IS NOT NULL)"
 
 
+def _candidate_device_pred(engine, rid: str, kind, meters: float, steps: int, op: Token) -> tuple[str, str] | None:
+    """Per-candidate predicate for a POINT target device versus one
+    snapshot device (truth table of runtime.go:1662-1700; candidate
+    positions are plan-time constants from the broadcast snapshot).
+    Returns (pred_sql, candidate_layer) or None if not expressible."""
+    import numpy as np
+
+    from spinix_spark.geo.rings import circle_ring
+
+    other = engine.devices.lookup(rid)
+    if other is None:
+        return None  # missing refs are silently skipped (kernel parity)
+    layer = str(other.get("layer_id", "0" * 20))
+    if kind in (Token.RADIUS, Token.BBOX):
+        # fixed ring around a constant point — identical construction
+        # to the kernel (same circle_ring call → bit-identical vertices)
+        ring = circle_ring(float(other["lat"]), float(other["lon"]), meters, steps)
+        pin = point_in_ring_sql(
+            "lat", "lon", [(float(a), float(b)) for a, b in np.asarray(ring)],
+            inclusive=True,
+        )
+    else:
+        pin = f"(lat = {float(other['lat'])!r} AND lon = {float(other['lon'])!r})"
+    if op in (Token.INTERSECTS, Token.NEAR, Token.IN):
+        pred = pin
+    elif op in (Token.NINTERSECTS, Token.NIN, Token.NNEAR):
+        pred = f"(NOT {pin})"
+    else:
+        return None
+    return pred, layer
+
+
+def _sp_devices_sql(engine, left_lit, right_lit, op: Token) -> NodeSQL | None:
+    """SpDevicesOp: point target vs explicit candidate list."""
+    if left_lit.kind not in (Token.DEVICE, Token.ILLEGAL):
+        return None  # buffered target builds per-row rings → kernel path
+    if not right_lit.refs or right_lit.all:
+        return None
+    pairs = []
+    for rid in right_lit.refs:
+        got = _candidate_device_pred(
+            engine, rid, right_lit.kind, right_lit.meters(), right_lit.steps(), op
+        )
+        if got is None:
+            continue
+        pred, cand_layer = got
+        # per-candidate layer equality gate (runtime.go:1530-1532)
+        pairs.append((f"({pred} AND layer_id = {_sql_str(cand_layer)})", rid))
+    ok = "(" + " OR ".join(p for p, _ in pairs) + ")" if pairs else "false"
+    refs = _refs_array_sql(pairs) if pairs else "array()"
+    return NodeSQL(
+        ok_sql=ok, refs_sql=refs, left_kw="device", right_kw="devices", op=str(op)
+    )
+
+
 def compile_node_sql(node, engine, props, columns: set[str]) -> NodeSQL | None:
+    if isinstance(node, SpDevicesOp):
+        return _sp_devices_sql(engine, node.left, node.right, node.op)
+    if isinstance(node, SpDDevicesOp):
+        # membership gate on exactly one side then delegate
+        # (runtime.go:1381-1431); both variants as guarded predicates
+        left_ok = (
+            f"(device_id IN ({', '.join(_sql_str(r) for r in node.left.refs)}))"
+            if node.left.refs
+            else "false"
+        )
+        right_ok = (
+            f"(device_id IN ({', '.join(_sql_str(r) for r in node.right.refs)}))"
+            if node.right.refs
+            else "false"
+        )
+        both = f"({left_ok} AND {right_ok})"
+        variants = []  # (guard_sql, NodeSQL)
+        if node.left.all and node.right.all:
+            pass  # rejected at compile; defensive
+        elif node.left.all:
+            # devices(@) OP devices(my) → swap
+            v = _sp_devices_sql(engine, node.right, node.left, node.op)
+            if v is None:
+                return None
+            variants.append((right_ok, v))
+        else:
+            va = _sp_devices_sql(engine, node.left, node.right, node.op)
+            if va is None:
+                return None
+            variants.append((f"({left_ok} AND NOT {right_ok})", va))
+            if not node.right.all:
+                vb = _sp_devices_sql(engine, node.right, node.left, node.op)
+                if vb is None:
+                    return None
+                variants.append((f"({right_ok} AND NOT {left_ok})", vb))
+        if not variants:
+            return None
+        ok = " OR ".join(f"({g} AND {v.ok_sql})" for g, v in variants)
+        refs = "CASE " + " ".join(
+            f"WHEN {g} AND {v.ok_sql} THEN {v.refs_sql}" for g, v in variants
+        ) + " ELSE array() END"
+        return NodeSQL(
+            ok_sql=f"((NOT {both}) AND ({ok}))",
+            refs_sql=refs,
+            left_kw="device",
+            right_kw="devices",
+            op=str(node.op),
+        )
+    if isinstance(node, EqualDevicesOp):
+        cmp = _CMP_SQL[node.op]
+        target = node.left.meters()
+        pairs = []
+        last_pred = "false"
+        for rid in node.right.refs:
+            other = engine.devices.lookup(rid)
+            if other is None:
+                continue
+            dist = round50_sql(
+                haversine_sql(
+                    "lat", "lon", repr(float(other["lat"])), repr(float(other["lon"]))
+                ),
+                MIN_DIST_METERS,
+            )
+            pred = f"({dist} {cmp} CAST({target!r} AS DOUBLE))"
+            pairs.append((pred, rid))
+            last_pred = pred  # last-candidate-wins (runtime.go:1860-1888)
+        return NodeSQL(
+            ok_sql=last_pred,
+            refs_sql=_refs_array_sql(pairs) if pairs else "array()",
+            left_kw="device",
+            right_kw="devices",
+            op=str(node.op),
+        )
     if isinstance(node, SpObjectOp):
         if node.left.kind is not Token.DEVICE:
             return None  # buffered devices build per-row rings → kernel path
