@@ -182,6 +182,30 @@ def _zone_point_pred(zone, op: Token) -> str | None:
     return None
 
 
+def _near_candidate_sql(zone, meters: float) -> str:
+    """Search-rect(point, meters) intersects zone bbox — the exact
+    candidacy test of ZoneStore.near / rect_from_center
+    (geo/rings.py:rect_from_center), as a SQL expression over the
+    row's lat/lon. Same formula: dlat = degrees(r), dlon from the
+    spherical-cap arcsin with the cosine clamp."""
+    import math
+
+    from spinix_spark.geo.geodesy import EARTH_RADIUS_M
+
+    b = zone.bbox
+    r = float(meters) / EARTH_RADIUS_M
+    dlat = f"{math.degrees(r)!r}"
+    sin_r = f"{math.sin(r)!r}"
+    dlon = (
+        f"DEGREES(ASIN(LEAST(GREATEST({sin_r} / "
+        f"GREATEST(COS(RADIANS(lat)), 1e-12), -1.0), 1.0)))"
+    )
+    return (
+        f"((lat + {dlat}) >= {float(b[0])!r} AND (lat - {dlat}) <= {float(b[2])!r}"
+        f" AND (lon + {dlon}) >= {float(b[1])!r} AND (lon - {dlon}) <= {float(b[3])!r})"
+    )
+
+
 def _refs_array_sql(pairs: list[tuple[str, str]]) -> str:
     """[(pred_sql, ref_id)] → array<string> of satisfied refs, in
     candidate iteration order."""
@@ -323,7 +347,31 @@ def compile_node_sql(node, engine, props, columns: set[str]) -> NodeSQL | None:
     if isinstance(node, SpObjectOp):
         if node.left.kind is not Token.DEVICE:
             return None  # buffered devices build per-row rings → kernel path
-        if not node.right.refs or node.right.all:
+        if node.right.all and not node.right.refs:
+            # ``@``: candidate universe = Objects.Near's bbox prefilter
+            # with the point device's 50 m floor radius
+            # (object.go:115-127) — per zone, candidacy is a fixed
+            # search-rect-vs-zone-bbox test, so the existential
+            # semantics (SURVEY.md §2A.1) stay exact: non-candidates
+            # contribute nothing, satisfied candidates append refs.
+            pairs = []
+            for z in engine.zones.all_zones():
+                if z.layer_id != props.layer:
+                    continue
+                pred = _zone_point_pred(z, node.op)
+                if pred is None:
+                    return None
+                cand = _near_candidate_sql(z, MIN_DIST_METERS)
+                pairs.append((f"({cand} AND {pred})", z.object_id))
+            ok = "(" + " OR ".join(p for p, _ in pairs) + ")" if pairs else "false"
+            return NodeSQL(
+                ok_sql=ok,
+                refs_sql=_refs_array_sql(pairs) if pairs else "array()",
+                left_kw="device",
+                right_kw=str(node.right.kind),
+                op=str(node.op),
+            )
+        if not node.right.refs:
             return None
         pairs: list[tuple[str, str]] = []
         for rid in node.right.refs:
