@@ -79,7 +79,7 @@ def _key(rows):
 
 
 def test_local_vs_distributed_parity(spark):
-    for seed in (1, 7, 42):
+    for seed in (1, 7, 42, 13, 99):
         zones, pts = _random_world(seed)
         engine_a = _build_engine(zones)
         engine_b = _build_engine(zones)
@@ -112,7 +112,7 @@ def test_sql_path_equals_kernel_path(spark):
     kernel (mapInPandas) path's rows."""
     from spinix_spark.engine.sql_compile import try_compile_rule_sql
 
-    for seed in (3, 11):
+    for seed in (3, 11, 29):
         zones, pts = _random_world(seed)
         engine = _build_engine(zones)
         # the eligible rule must actually compile to SQL
