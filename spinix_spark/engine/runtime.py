@@ -1032,9 +1032,16 @@ def eval_spec_full(
 
     layer_ok = batch.layer_id == spec.props.layer
 
-    # trigger gate (stateful)
+    # trigger gate (stateful) — SEQUENTIAL per row, exactly the
+    # reference's per-event ordering (Engine.Detect evaluates one
+    # update at a time: checkTrigger then changeState,
+    # runtime.go:103-163 + engine.go:190-225). Row i+1 of the same
+    # device sees the state as updated by row i, so the outcome is a
+    # deterministic fold over the batch's row order and — given
+    # event-time-sorted input (detect_batch_spark sorts stateful
+    # partitions by (device_id, datetime)) — independent of Arrow
+    # batch boundaries and partition count.
     trigger_ok = np.ones(n, dtype=bool)
-    states: list[dict | None] = [None] * n
     if spec.is_stateful:
         for i in range(n):
             if not layer_ok[i]:
@@ -1047,7 +1054,13 @@ def eval_spec_full(
                 state_reset(st)
                 st["last_reset"] = st["now"]  # UpdateLastResetTime
             trigger_ok[i] = _check_trigger(spec, st)
-            states[i] = st
+            if trigger_ok[i]:
+                # changeState (runtime.go:133-163) — immediately, so
+                # the next event of this device sees it
+                st["last_seen"] = st["now"]
+                if spec.props.repeat in (ast.REPEAT_TIMES, ast.REPEAT_ONCE):
+                    st["hits"] += 1
+                ref.states.update(st)
 
     node_results = [eval_node(node, batch, ref, spec.props.layer) for node in spec.nodes]
 
@@ -1065,17 +1078,6 @@ def eval_spec_full(
             acc = acc | node_results[i].ok
 
     final_ok = acc & layer_ok & trigger_ok
-
-    # changeState after evaluation, regardless of match (runtime.go:224-235)
-    if spec.is_stateful:
-        for i in range(n):
-            st = states[i]
-            if st is None or not trigger_ok[i]:
-                continue
-            st["last_seen"] = st["now"]
-            if spec.props.repeat in (ast.REPEAT_TIMES, ast.REPEAT_ONCE):
-                st["hits"] += 1
-            ref.states.update(st)
 
     return final_ok, node_results, recorded, layer_ok & trigger_ok
 

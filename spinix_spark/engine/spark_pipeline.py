@@ -232,12 +232,18 @@ def detect_batch_spark(
     )
     pruned = points.where(F.expr(kernel_prune))
     if any(r.spec.is_stateful for r in kernel_rules):
-        pruned = pruned.repartition("device_id")
+        # one owner task per device + deterministic per-device event
+        # order: trigger state folds sequentially over (device_id,
+        # datetime) regardless of Arrow batch boundaries or partition
+        # count (the reference's per-event Detect ordering)
+        sort_cols = [c for c in ("device_id", "datetime", "url") if c in points.columns]
+        pruned = pruned.repartition("device_id").sortWithinPartitions(*sort_cols)
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         p = b.value
         states = StateStore()
-        states.load(p["states"])
+        states.load(p["states"])  # seeded clean; only touched keys emit
+        states.clear_dirty()
         ref = Reference(zones=p["zones"], devices=p["snapshot"], states=states)
         for pdf in batches:
             if pdf.empty:
@@ -303,36 +309,52 @@ def detect_batch_spark(
                             }
                         )
                     )
-            snap = states.snapshot()
-            if snap:
-                out_frames.append(
-                    pd.DataFrame(
-                        {
-                            "row_type": "state",
-                            "url": "",
-                            "device_id": [s["device_id"] for s in snap],
-                            "rule_id": [s["rule_id"] for s in snap],
-                            "spec": "",
-                            "ok": True,
-                            "left_kw": "",
-                            "right_kw": "",
-                            "op": "",
-                            "right_refs": [[] for _ in snap],
-                            "datetime": 0,
-                            "last_seen": [int(s["last_seen"]) for s in snap],
-                            "last_reset": [int(s["last_reset"]) for s in snap],
-                            "hits": [int(s["hits"]) for s in snap],
-                            "now": [int(s["now"]) for s in snap],
-                        }
-                    )
-                )
             if out_frames:
                 yield pd.concat(out_frames, ignore_index=True)
+        # state rows: ONE emission per task, dirty keys only. The
+        # repartition("device_id") above means every row of a device
+        # lands in exactly one task, so each touched (device, rule)
+        # key is emitted by exactly one task — no duplicates, no
+        # re-emission of broadcast-seeded prior states that this task
+        # never owned (those are merged back by merge_state_rows on
+        # the caller side).
+        snap = states.dirty_snapshot()
+        if snap:
+            yield pd.DataFrame(
+                {
+                    "row_type": "state",
+                    "url": "",
+                    "device_id": [s["device_id"] for s in snap],
+                    "rule_id": [s["rule_id"] for s in snap],
+                    "spec": "",
+                    "ok": True,
+                    "left_kw": "",
+                    "right_kw": "",
+                    "op": "",
+                    "right_refs": [[] for _ in snap],
+                    "datetime": 0,
+                    "last_seen": [int(s["last_seen"]) for s in snap],
+                    "last_reset": [int(s["last_reset"]) for s in snap],
+                    "hits": [int(s["hits"]) for s in snap],
+                    "now": [int(s["now"]) for s in snap],
+                }
+            )
 
     out = pruned.mapInPandas(process, schema=OUT_SCHEMA)
     for o in sql_outs:
         out = out.unionAll(o)
     return out
+
+
+def merge_state_rows(prior: list[dict], updated: list[dict]) -> list[dict]:
+    """Next-batch state = prior states overlaid with this batch's
+    dirty emissions (updated wins per (device_id, rule_id) key).
+    detect_batch_spark emits only the states its tasks touched, so
+    untouched prior states must be carried forward by the caller."""
+    merged = {(r["device_id"], r["rule_id"]): dict(r) for r in prior}
+    for r in updated:
+        merged[(r["device_id"], r["rule_id"])] = dict(r)
+    return list(merged.values())
 
 
 def split_output(out: DataFrame) -> tuple[DataFrame, DataFrame]:

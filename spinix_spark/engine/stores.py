@@ -339,10 +339,17 @@ def state_reset(st: dict) -> None:
 
 
 class StateStore:
-    """Per-(device, rule) trigger state (state.go:111-127)."""
+    """Per-(device, rule) trigger state (state.go:111-127).
+
+    Tracks *dirty* keys — states created or handed out for mutation
+    since the last :meth:`clear_dirty` — so a distributed task that
+    seeded itself from a broadcast of ALL prior states can emit only
+    the states it actually owns/touched (one emission per key per
+    batch; see spark_pipeline.detect_batch_spark)."""
 
     def __init__(self) -> None:
         self._states: dict[tuple[str, str], dict] = {}
+        self._dirty: set[tuple[str, str]] = set()
 
     @staticmethod
     def _blank(device_id: str, rule_id: str) -> dict:
@@ -361,10 +368,15 @@ class StateStore:
         if st is None:
             st = self._blank(device_id, rule_id)
             self._states[key] = st
+        # the returned dict is mutated in place by eval_spec_full
+        # (now/reset fields), so handing it out marks it dirty
+        self._dirty.add(key)
         return st
 
     def update(self, st: dict) -> None:
-        self._states[(st["device_id"], st["rule_id"])] = st
+        key = (st["device_id"], st["rule_id"])
+        self._states[key] = st
+        self._dirty.add(key)
 
     def remove_by_rule(self, rule_id: str) -> None:
         for k in [k for k in self._states if k[1] == rule_id]:
@@ -377,6 +389,14 @@ class StateStore:
     def snapshot(self) -> list[dict]:
         return [dict(v) for v in self._states.values()]
 
+    def dirty_snapshot(self) -> list[dict]:
+        """Only the states touched since the last clear_dirty()."""
+        return [dict(self._states[k]) for k in self._dirty if k in self._states]
+
+    def clear_dirty(self) -> None:
+        self._dirty.clear()
+
     def load(self, rows: list[dict]) -> None:
+        """Seed prior-batch states; loading does NOT mark dirty."""
         for r in rows:
             self._states[(r["device_id"], r["rule_id"])] = dict(r)

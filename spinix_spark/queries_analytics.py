@@ -118,7 +118,9 @@ def spark_mh_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (run/checkpoint.py)
 Q_TIME_BUCKET = (
     "SELECT date_trunc('hour', ts) AS bucket, event_type, "
-    "COUNT(*) AS n, SUM(CAST(value AS DECIMAL(20,2))) AS total_value "
+    # decimal SUM for order-independence, DOUBLE result for identical
+    # cross-engine rendering (Spark/DuckDB result-decimal scales differ)
+    "COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total_value "
     "FROM events GROUP BY date_trunc('hour', ts), event_type"
 )
 

@@ -71,33 +71,135 @@ def detect_stateless(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def detect_stateful_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful trigger-once rule over two consecutive batches: the
-    second batch must be fully suppressed. Returns per-batch event
-    counts (rows-only driver check; semantics pinned by unit tests)."""
-    engine = _engine()
-    engine.add_rule(
-        f"device INTERSECTS polygon({PENTAGON_ID})"
-        " { :center 42.935 -72.27 :radius 5km :trigger once }",
-        rule_id="r" + "1" * 19,
+def _event_counts(events: DataFrame, batch_no: int) -> DataFrame:
+    """Per-device fired-event counts, keyed by the derivation slot
+    (doc_id % 37) so the oracle can reproduce the key in plain SQL."""
+    return (
+        events.select(
+            (
+                F.regexp_extract("url", r"doc://(\d+)", 1).cast("bigint") % 37
+            ).alias("device_slot")
+        )
+        .groupBy("device_slot")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.lit(batch_no).cast("bigint").alias("batch"),
+            "device_slot",
+            "n_events",
+        )
     )
+
+
+# Stateful trigger gate queries: the trigger state is a sequential
+# per-device event-time fold (checkTrigger/changeState,
+# runtime.go:103-163) — detect_batch_spark pins that fold to
+# (device_id, datetime) order, so the outcome is expressible in SQL as
+# window functions over event-time-ordered rows. The rule node
+# (``speed nrange [300 .. 400]``, always true for derived speeds
+# 0..199) and the 50 km rule geofence keep every row evaluated, so the
+# oracle sees the pure trigger fold with no tie-sensitive spatial term.
+_ALWAYS_NODE = "speed nrange [300 .. 400]"
+_WIDE_PROPS = ":center 42.935 -72.27 :radius 50km"
+
+
+def _run_two_batches(spark: SparkSession, sf_dir: str, rule: str) -> DataFrame:
+    """Run the SAME points through the stateful pipeline twice,
+    carrying per-(device, rule) state between the batches; return
+    (batch, device_slot, n_events)."""
+    from spinix_spark.engine.spark_pipeline import merge_state_rows
+
+    engine = _engine()
+    engine.add_rule(rule, rule_id="r" + "1" * 19)
     pts = _points_as_devices(spark, sf_dir)
-    out1 = detect_batch_spark(pts, engine)
-    ev1, st1 = split_output(out1)
-    n1 = ev1.count()
-    state_rows = [r.asDict() for r in st1.collect()]
-    out2 = detect_batch_spark(pts, engine, state_rows=state_rows)
-    ev2, _ = split_output(out2)
-    n2 = ev2.count()
-    return spark.createDataFrame(
-        [(1, n1), (2, n2)], "batch int, n_events bigint"
+    ev1, st1 = split_output(detect_batch_spark(pts, engine))
+    c1 = _event_counts(ev1, 1)
+    state_rows = merge_state_rows([], [r.asDict() for r in st1.collect()])
+    ev2, _ = split_output(detect_batch_spark(pts, engine, state_rows=state_rows))
+    c2 = _event_counts(ev2, 2)
+    return c1.unionAll(c2).orderBy("batch", "device_slot")
+
+
+def detect_stateful_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``:trigger once``: exactly one fired event per device in batch
+    1 (first event in time order; hits 0 → 1), full suppression in
+    batch 2 (REPEAT_ONCE fires iff hits == 0, runtime.go:127-129)."""
+    return _run_two_batches(
+        spark, sf_dir, f"{_ALWAYS_NODE} {{ {_WIDE_PROPS} :trigger once }}"
+    )
+
+
+def detect_trigger_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``:trigger 3 times interval 0s``: the first three events per
+    device fire (hits < times, interval 0 always satisfied on
+    time-ordered rows), everything after — including all of batch 2 —
+    is suppressed (runtime.go:118-126)."""
+    return _run_two_batches(
+        spark,
+        sf_dir,
+        f"{_ALWAYS_NODE} {{ {_WIDE_PROPS} :trigger 3 times interval 0s }}",
+    )
+
+
+def detect_trigger_every(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``:trigger every 600s``: first event fires (lastSeen == 0) and
+    anchors lastReset; afterwards an event fires iff its time is more
+    than 600 s past the anchor (runtime.go:112-117). Batch 2 replays
+    the same rows against the carried anchor, so only the > 600 s rows
+    fire again — the window-fold oracle checks both batches."""
+    return _run_two_batches(
+        spark,
+        sf_dir,
+        f"{_ALWAYS_NODE} {{ {_WIDE_PROPS} :trigger every 600s :reset after 24h }}",
     )
 
 
 # oracle for the stateless pipeline: same semantics as rule_composite
 DETECT_STATELESS_ORACLE = f"SELECT doc_id FROM ({Q_RULE_COMPOSITE}) q ORDER BY doc_id"
 
+from spinix_spark.io.derive import POINTS_SELECT as _PSEL  # noqa: E402
+
+_SLOTS = (
+    f"SELECT CAST(doc_id % 37 AS BIGINT) AS device_slot, datetime FROM ({_PSEL}) p"
+)
+
+# once: one fired event per device in batch 1, none in batch 2
+DETECT_ONCE_ORACLE = (
+    f"SELECT CAST(1 AS BIGINT) AS batch, device_slot, CAST(1 AS BIGINT) AS n_events "
+    f"FROM (SELECT DISTINCT device_slot FROM ({_SLOTS}) s) d "
+    "ORDER BY batch, device_slot"
+)
+
+# times 3: min(3, per-device row count) in batch 1; leftover quota
+# (3 - count, when positive) in batch 2
+DETECT_TIMES_ORACLE = (
+    f"WITH c AS (SELECT device_slot, COUNT(*) AS cnt FROM ({_SLOTS}) s GROUP BY device_slot) "
+    "SELECT CAST(1 AS BIGINT) AS batch, device_slot, "
+    "CAST(LEAST(3, cnt) AS BIGINT) AS n_events FROM c "
+    "UNION ALL "
+    "SELECT CAST(2 AS BIGINT), device_slot, CAST(LEAST(3, GREATEST(3 - cnt, 0)) AS BIGINT) "
+    "FROM c WHERE cnt < 3 "
+    "ORDER BY batch, device_slot"
+)
+
+# every 600s: batch 1 = 1 (anchor event) + rows strictly past the
+# 600 s delay from the per-device minimum time; batch 2 = only the
+# past-delay rows (anchor is carried state). The event-time window
+# fold of checkTrigger REPEAT_EVERY.
+DETECT_EVERY_ORACLE = (
+    "WITH m AS (SELECT device_slot, datetime, "
+    f"MIN(datetime) OVER (PARTITION BY device_slot) AS mn FROM ({_SLOTS}) s), "
+    "a AS (SELECT device_slot, "
+    "SUM(CASE WHEN datetime > mn + 600 THEN 1 ELSE 0 END) AS late FROM m "
+    "GROUP BY device_slot) "
+    "SELECT CAST(1 AS BIGINT) AS batch, device_slot, CAST(1 + late AS BIGINT) AS n_events FROM a "
+    "UNION ALL "
+    "SELECT CAST(2 AS BIGINT), device_slot, CAST(late AS BIGINT) FROM a WHERE late > 0 "
+    "ORDER BY batch, device_slot"
+)
+
 DETECT_QUERIES: dict[str, tuple] = {
     "detect_pipeline": (detect_stateless, DETECT_STATELESS_ORACLE),
-    "detect_stateful_trigger": (detect_stateful_trigger, None),
+    "detect_stateful_trigger": (detect_stateful_trigger, DETECT_ONCE_ORACLE),
+    "detect_trigger_times": (detect_trigger_times, DETECT_TIMES_ORACLE),
+    "detect_trigger_every": (detect_trigger_every, DETECT_EVERY_ORACLE),
 }

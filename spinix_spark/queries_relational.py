@@ -25,11 +25,16 @@ def _shared(sql: str, tables):
     return fn, sql
 
 
-# TPC-H Q1-flavored pricing summary (exact decimal sums)
+# TPC-H Q1-flavored pricing summary. The SUM runs over DECIMAL so the
+# aggregate is order-independent (exact), then the RESULT is cast to
+# DOUBLE: Spark and DuckDB render result decimals with different
+# scales (DECIMAL(22,2) vs DECIMAL(38,2)), which breaks the driver's
+# value hash even when the numbers are equal — an exact decimal casts
+# to the same nearest double in both engines.
 Q_PRICING = (
     "SELECT l_returnflag, l_linestatus, "
-    "SUM(CAST(l_quantity AS DECIMAL(20,2))) AS sum_qty, "
-    "SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS sum_base_price, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_base_price, "
     "COUNT(*) AS count_order "
     "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
     "GROUP BY l_returnflag, l_linestatus"
@@ -38,7 +43,7 @@ Q_PRICING = (
 # broadcast-join revenue per nation (customer ⨝ orders ⨝ nation)
 Q_REVENUE_BY_NATION = (
     "SELECT n.n_name AS nation, "
-    "SUM(CAST(o.o_totalprice AS DECIMAL(20,2))) AS revenue, "
+    "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS revenue, "
     "COUNT(*) AS n_orders "
     "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
     "JOIN nation n ON c.c_nationkey = n.n_nationkey "
@@ -48,7 +53,7 @@ Q_REVENUE_BY_NATION = (
 # top-k customers by order count (deterministic tie-break)
 Q_TOP_CUSTOMERS = (
     "SELECT o_custkey, COUNT(*) AS n_orders, "
-    "SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS total "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS total "
     "FROM orders GROUP BY o_custkey "
     "ORDER BY n_orders DESC, o_custkey LIMIT 25"
 )

@@ -79,8 +79,11 @@ Q_QUALITY = (
     "SELECT doc_id, n_tokens, "
     "CAST(n_alpha AS DOUBLE) / n_tokens AS mean_word_len, "
     "CAST(n_the AS DOUBLE) / n_tokens AS stopword_ratio, "
-    "CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 1.0 ELSE 0.5 END "
-    "* (CASE WHEN CAST(n_the AS DOUBLE) / n_tokens > 0.01 THEN 1.0 ELSE 0.8 END) "
+    # decimal literals type as DECIMAL in Spark (0.5 * 0.8 → DECIMAL
+    # with engine-specific scale); cast each arm to DOUBLE so both
+    # engines produce the same IEEE double
+    "CAST(CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 1.0 ELSE 0.5 END AS DOUBLE) "
+    "* CAST(CASE WHEN CAST(n_the AS DOUBLE) / n_tokens > 0.01 THEN 1.0 ELSE 0.8 END AS DOUBLE) "
     "AS quality_score FROM ("
     "SELECT doc_id, "
     "(LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) + 1 AS n_tokens, "

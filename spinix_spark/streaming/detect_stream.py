@@ -30,7 +30,11 @@ from pyspark.sql.types import (
 )
 
 from spinix_spark.engine.detect import Engine
-from spinix_spark.engine.spark_pipeline import detect_batch_spark, split_output
+from spinix_spark.engine.spark_pipeline import (
+    detect_batch_spark,
+    merge_state_rows,
+    split_output,
+)
 
 
 def stream_detect(
@@ -53,7 +57,9 @@ def stream_detect(
         out = detect_batch_spark(batch_df, engine, state_rows=state_rows)
         events, states = split_output(out)
         sink(events, batch_id)
-        state_rows = [r.asDict() for r in states.collect()]
+        state_rows = merge_state_rows(
+            state_rows, [r.asDict() for r in states.collect()]
+        )
         engine.devices.merge_batch(
             [r.asDict() for r in batch_df.collect()]
         )

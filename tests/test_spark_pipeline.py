@@ -167,6 +167,67 @@ def test_stateful_rule_state_rows(spark):
     assert events2.count() == 0
 
 
+def test_stateful_state_rows_multipartition(spark):
+    """Regression (round-1 verdict #1): with >1 shuffle partition, >1
+    device, AND non-empty prior state, each touched (device_id,
+    rule_id) key must be emitted exactly once — no duplicate or
+    conflicting state rows from tasks re-emitting broadcast-seeded
+    prior states they never owned."""
+    from spinix_spark.engine.spark_pipeline import merge_state_rows
+
+    engine = Engine()
+    rule_id = "r" + "3" * 19
+    engine.add_rule(
+        "status eq 1 { :center 42.92 -72.27 :radius 5km :trigger once }",
+        rule_id=rule_id,
+    )
+    n = 64  # 8 devices × 8 rows each, spread across many partitions
+    pdf = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(n)],
+            "device_id": [f"d{i % 8:019d}" for i in range(n)],
+            "layer_id": ["0" * 20] * n,
+            "lat": [42.92] * n,
+            "lon": [-72.27] * n,
+            "datetime": [1000 + i for i in range(n)],
+            "speed": [0.0] * n,
+            "status": [1] * n,
+        }
+    )
+    points = spark.createDataFrame(pdf).repartition(8)
+
+    # batch 1: no prior state
+    ev1, st1 = split_output(detect_batch_spark(points, engine))
+    rows1 = [r.asDict() for r in st1.collect()]
+    keys1 = [(r["device_id"], r["rule_id"]) for r in rows1]
+    assert len(keys1) == len(set(keys1)) == 8  # one state row per device
+    # sequential per-event trigger fold: 'once' fires exactly one
+    # event per device (the first in time order), not one per row
+    assert ev1.count() == 8
+    assert all(r["hits"] == 1 for r in rows1)
+
+    # batch 2 with non-empty prior state across multiple Arrow batches:
+    # the old bug re-emitted every seeded state from every task
+    state_rows = merge_state_rows([], rows1)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        ev2, st2 = split_output(
+            detect_batch_spark(points, engine, state_rows=state_rows)
+        )
+        rows2 = [r.asDict() for r in st2.collect()]
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    keys2 = [(r["device_id"], r["rule_id"]) for r in rows2]
+    assert len(keys2) == len(set(keys2)) == 8, f"duplicate state rows: {keys2}"
+    assert ev2.count() == 0  # trigger 'once' suppresses the whole batch
+    # carried-forward merge is stable: hits keep accumulating per key
+    merged = merge_state_rows(state_rows, rows2)
+    assert len(merged) == 8
+    by_key = {(r["device_id"], r["rule_id"]): r for r in merged}
+    for r in rows2:
+        assert by_key[(r["device_id"], r["rule_id"])]["hits"] == r["hits"]
+
+
 def test_device_near_device_via_snapshot(spark, pages):
     points = geoparse_points(pages)
     snap = snapshot_from_points(points)
