@@ -153,6 +153,93 @@ def detect_trigger_every(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- §2A ops #3 / #6 / #17 through the real pipeline ---------------------
+# Snapshot devices live OUTSIDE the row-device id space ("x…"), so the
+# devices-vs-devices membership swap (runtime.go:1381-1431) evaluates
+# exactly the left-membership direction and the oracle stays closed.
+
+X1 = "e" + "0" * 19  # snapshot device at the pentagon center
+X2 = "e" + "0" * 18 + "1"  # snapshot device SW of center
+X1_POS = (42.935, -72.27)
+X2_POS = (42.925, -72.295)
+
+
+def _slot_id(slot: int) -> str:
+    """Row device id for a derivation slot — mirrors _points_as_devices
+    (base-32 of doc_id % 37, left-padded to 19)."""
+    import numpy as np
+
+    return "d" + np.base_repr(slot, 32).lower().zfill(19)
+
+
+MEMBER_SLOTS = (1, 5, 11, 17, 23, 29, 31, 36)
+DD_RING_M = 2000.0
+
+
+def _engine_with_snapshot() -> Engine:
+    engine = _engine()
+    for did, (lat, lon) in ((X1, X1_POS), (X2, X2_POS)):
+        engine.devices.insert_or_replace(
+            {"device_id": did, "layer_id": "0" * 20, "lat": lat, "lon": lon}
+        )
+    return engine
+
+
+def _doc_ids(events: DataFrame) -> DataFrame:
+    return events.select(
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("bigint").alias("doc_id")
+    ).orderBy("doc_id")
+
+
+def detect_dd_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op #3 spDDevicesOp: ``devices(list) INTERSECTS devices(x1)
+    :radius 500m`` — membership-gated device-vs-device with a buffered
+    constant candidate (point target in the candidate's 12-gon ring,
+    runtime.go:1355-1431). Kernel path (buffered right side)."""
+    engine = _engine_with_snapshot()
+    members = ", ".join(_slot_id(s) for s in MEMBER_SLOTS)
+    engine.add_rule(
+        f"devices({members}) intersects devices({X1}) :radius 2km"
+        " { :center 42.935 -72.27 :radius 50km }",
+        rule_id="r" + "4" * 19,
+    )
+    ev, _ = split_output(detect_batch_spark(_points_as_devices(spark, sf_dir), engine))
+    return _doc_ids(ev)
+
+
+def detect_equal_devices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op #6 equalDevicesOp: ``device :radius 1km lt devices(x1, x2)``
+    — 50 m-rounded distance comparator with the reference's
+    last-candidate-wins Ok (runtime.go:1860-1888); per-event ref count
+    captures which candidates individually satisfied the comparator.
+    Compiles fully to Catalyst (engine/sql_compile.py)."""
+    engine = _engine_with_snapshot()
+    engine.add_rule(
+        f"device :radius 1km lt devices({X1}, {X2})"
+        " { :center 42.935 -72.27 :radius 50km }",
+        rule_id="r" + "5" * 19,
+    )
+    ev, _ = split_output(detect_batch_spark(_points_as_devices(spark, sf_dir), engine))
+    return ev.select(
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        F.size("right_refs").cast("bigint").alias("n_refs"),
+    ).orderBy("doc_id")
+
+
+def detect_range_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op #17 rangeDateTimeOp: boundary-inclusive absolute-datetime
+    range (runtime.go:1011-1067) through the pipeline; compiles to a
+    plain Catalyst long-range predicate."""
+    engine = _engine()
+    engine.add_rule(
+        'datetime range ["2023-11-14T23:00:00Z" .. "2023-11-15T08:00:00Z"]'
+        " { :center 42.935 -72.27 :radius 50km }",
+        rule_id="r" + "6" * 19,
+    )
+    ev, _ = split_output(detect_batch_spark(_points_as_devices(spark, sf_dir), engine))
+    return _doc_ids(ev)
+
+
 # oracle for the stateless pipeline: same semantics as rule_composite
 DETECT_STATELESS_ORACLE = f"SELECT doc_id FROM ({Q_RULE_COMPOSITE}) q ORDER BY doc_id"
 
@@ -197,9 +284,61 @@ DETECT_EVERY_ORACLE = (
     "ORDER BY batch, device_slot"
 )
 
+# oracles for the #3/#6/#17 pipeline queries — generated from the SAME
+# constants/ring constructions as the kernel (bit-identical vertices)
+def _dd_membership_oracle() -> str:
+    import numpy as np
+
+    from spinix_spark.geo.rings import circle_ring
+    from spinix_spark.geo.sqlgen import point_in_ring_sql
+
+    ring = circle_ring(X1_POS[0], X1_POS[1], DD_RING_M, 12)
+    pir = point_in_ring_sql(
+        "lat", "lon", [(float(a), float(b)) for a, b in np.asarray(ring)],
+        inclusive=True,
+    )
+    slots = ", ".join(str(s) for s in MEMBER_SLOTS)
+    return (
+        f"SELECT doc_id FROM ({_PSEL}) p "
+        f"WHERE (doc_id % 37) IN ({slots}) AND {pir} ORDER BY doc_id"
+    )
+
+
+def _equal_devices_oracle() -> str:
+    from spinix_spark.geo.geodesy import MIN_DIST_METERS
+    from spinix_spark.geo.sqlgen import haversine_sql, round50_sql
+
+    def pred(pos):
+        d = round50_sql(
+            haversine_sql("lat", "lon", repr(pos[0]), repr(pos[1])),
+            MIN_DIST_METERS,
+        )
+        return f"({d} < CAST(1000.0 AS DOUBLE))"
+
+    p1, p2 = pred(X1_POS), pred(X2_POS)
+    # last-candidate-wins Ok (x2); refs = satisfied candidates
+    return (
+        "SELECT doc_id, CAST((CASE WHEN "
+        + p1
+        + " THEN 1 ELSE 0 END) + (CASE WHEN "
+        + p2
+        + " THEN 1 ELSE 0 END) AS BIGINT) AS n_refs "
+        f"FROM ({_PSEL}) p WHERE {p2} ORDER BY doc_id"
+    )
+
+
+# 2023-11-14T23:00:00Z .. 2023-11-15T08:00:00Z, boundary-inclusive
+DETECT_RANGE_DT_ORACLE = (
+    f"SELECT doc_id FROM ({_PSEL}) p "
+    "WHERE datetime >= 1700002800 AND datetime <= 1700035200 ORDER BY doc_id"
+)
+
 DETECT_QUERIES: dict[str, tuple] = {
     "detect_pipeline": (detect_stateless, DETECT_STATELESS_ORACLE),
     "detect_stateful_trigger": (detect_stateful_trigger, DETECT_ONCE_ORACLE),
     "detect_trigger_times": (detect_trigger_times, DETECT_TIMES_ORACLE),
     "detect_trigger_every": (detect_trigger_every, DETECT_EVERY_ORACLE),
+    "detect_dd_membership": (detect_dd_membership, _dd_membership_oracle()),
+    "detect_equal_devices": (detect_equal_devices, _equal_devices_oracle()),
+    "detect_range_datetime": (detect_range_datetime, DETECT_RANGE_DT_ORACLE),
 }
