@@ -1,0 +1,256 @@
+"""Fact-scale physical strategy for ``devices(@)`` rules.
+
+The broadcast/kernel path (engine/spark_pipeline.py) evaluates
+device-vs-all-devices verbs by looping the broadcast snapshot inside
+each task — correct and reference-faithful while the snapshot is
+dimension-sized, but O(snapshot) Python iterations per Arrow batch and
+a driver-side ``.collect()`` to build the snapshot. At url-as-device
+cardinality (the 100 TB shape) the snapshot IS fact-sized, so this
+module provides the relational strategy instead:
+
+    points ──cell key──► explode k-ring neighbor cells
+           ──equi-join── devices_df (cell key, optional salt)
+           ──candidacy (exact Devices.Near rect, devices.go:166-199)
+           ──mapInPandas pairwise verb refine (vectorized kernel)
+           ──groupBy row: ok = ANY candidate, refs = satisfied ids
+           ──AND-fold with the rule's remaining (Catalyst) nodes
+           ──event rows
+
+Everything before the refine is whole-stage codegen; the refine sees
+only (rowkey, a_lat, a_lon, b_id, b_lat, b_lon) pairs that already
+passed the exact candidacy rect — the same candidate universe the
+kernel's ``Devices.Near`` prefilter admits, so results are identical
+(asserted by the cross-strategy parity test). Ref lists are emitted in
+sorted order; the kernel emits snapshot-insertion order — the set is
+identical, the order is an unspecified implementation detail.
+
+Scope: stateless rules, all-AND fold, exactly one SpDevicesOp node
+with ``right.all`` (any target buffer, point ``@`` candidates); the
+other nodes must compile to Catalyst (engine/sql_compile.py). Rules
+outside this shape keep the broadcast path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from spinix_spark.dsl.compiler import SpDevicesOp
+from spinix_spark.dsl.tokens import Token
+from spinix_spark.engine.runtime import _clamp_all_negated, _dd_verb_mask
+from spinix_spark.geo.cells import GridScheme
+from spinix_spark.geo.geodesy import (
+    MIN_DIST_METERS,
+    TINY_REGION_SIZE,
+    normalize_distance,
+)
+from spinix_spark.geo.sqlgen import rect_from_center_pred_sql
+
+
+def at_search_meters(node: SpDevicesOp) -> float:
+    """The kernel's ``@`` search radius: target buffer reach with the
+    negated-verb bump (runtime.go:1515-1525) and the TINY-tier clamp
+    (devices.go:166-199)."""
+    meters = node.left.meters()
+    if node.op in (Token.NINTERSECTS, Token.NNEAR):
+        meters = _clamp_all_negated(node.op, meters)
+    return MIN_DIST_METERS if meters <= 0 else normalize_distance(meters, TINY_REGION_SIZE)
+
+
+def devices_at_node(rule) -> SpDevicesOp | None:
+    """The rule's single devices(@) node if the rule fits this
+    strategy's shape, else None."""
+    from spinix_spark.dsl import ast_nodes as ast
+
+    spec = rule.spec
+    # any {...} props block marks the spec stateful (reference parity),
+    # but without a :trigger the gate is constant-true and state rows
+    # never influence events — only a real trigger needs the keyed path
+    if spec.props.repeat != ast.REPEAT_NONE:
+        return None
+    if any(op is not Token.AND for op in spec.ops):
+        return None
+    at_nodes = [
+        n
+        for n in spec.nodes
+        if isinstance(n, SpDevicesOp) and n.right.all and not n.right.refs
+    ]
+    if len(at_nodes) != 1:
+        return None
+    node = at_nodes[0]
+    # point candidates only (devices(@) carries no buffer in the DSL
+    # grammar; defensive check)
+    if node.right.kind in (Token.RADIUS, Token.BBOX):
+        return None
+    return node
+
+
+_PAIR_SCHEMA = StructType(
+    [
+        StructField("_rowkey", LongType()),
+        StructField("b_id", StringType()),
+    ]
+)
+
+
+def at_candidate_pairs(
+    points: DataFrame,
+    devices_df: DataFrame,
+    node: SpDevicesOp,
+    scheme: GridScheme,
+    n_salt: int = 0,
+) -> DataFrame:
+    """(row, snapshot-device) pairs satisfying the exact verb — the
+    distributed form of the kernel's per-snapshot-device loop.
+
+    ``points`` must carry ``_rowkey`` (unique per row), lat, lon,
+    layer_id, device_id. ``devices_df`` needs device_id, layer_id,
+    lat, lon. ``n_salt`` > 0 splits hot cells two-level (see
+    joins.near_pairs_salted).
+    """
+    import math
+
+    from spinix_spark.geo.geodesy import EARTH_RADIUS_M
+
+    search_m = at_search_meters(node)
+    cell = F.expr(scheme.sql_cell_expr("lat", "lon"))
+    cols = scheme.cols
+
+    # exact k-ring extents matching rect_from_center: latitude reach is
+    # the constant angular radius; longitude reach widens by 1/cos(lat),
+    # so the column span is computed PER ROW (a constant k would
+    # silently undercover longitude away from the equator)
+    r = search_m / EARTH_RADIUS_M
+    k_lat = int(math.ceil(math.degrees(r) / scheme.size))
+    sin_r = repr(math.sin(r))
+    dlon_deg = (
+        f"DEGREES(ASIN(LEAST(GREATEST({sin_r} / "
+        f"GREATEST(COS(RADIANS(lat)), 1e-12), -1.0), 1.0)))"
+    )
+    k_lon = f"CAST(CEIL({dlon_deg} / {scheme.size!r}) AS INT)"
+
+    left = points.select(
+        "_rowkey",
+        F.col("device_id").alias("a_id"),
+        F.col("layer_id").alias("a_layer"),
+        F.col("lat").alias("a_lat"),
+        F.col("lon").alias("a_lon"),
+        cell.alias("_cell"),
+        F.expr(k_lon).alias("_klon"),
+    )
+    left = (
+        left.withColumn("_dr", F.explode(F.expr(f"sequence(-{k_lat}, {k_lat})")))
+        .withColumn("_dc", F.explode(F.expr("sequence(-_klon, _klon)")))
+        .withColumn(
+            "_ncell",
+            (F.col("_cell") + F.col("_dr") * F.lit(cols) + F.col("_dc")).cast("long"),
+        )
+        .drop("_cell", "_dr", "_dc", "_klon")
+    )
+    right = devices_df.select(
+        F.col("device_id").alias("b_id"),
+        F.col("layer_id").alias("b_layer"),
+        F.col("lat").alias("b_lat"),
+        F.col("lon").alias("b_lon"),
+        F.expr(scheme.sql_cell_expr("lat", "lon")).alias("_ncell"),
+    )
+    join_keys = ["_ncell"]
+    if n_salt > 0:
+        left = left.withColumn(
+            "_bb", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+        )
+        right = right.withColumn("_bb", F.pmod(F.xxhash64("b_id"), n_salt))
+        join_keys = ["_ncell", "_bb"]
+
+    cand = (
+        left.join(right, join_keys)
+        .where(F.col("a_layer") == F.col("b_layer"))
+        .where(
+            F.expr(
+                rect_from_center_pred_sql("a_lat", "a_lon", "b_lat", "b_lon", search_m)
+            )
+        )
+        .select("_rowkey", "a_id", "a_lat", "a_lon", "b_id", "b_lat", "b_lon")
+    )
+
+    op = node.op
+    t_kind = node.left.kind
+    t_meters = node.left.meters()
+    t_steps = node.left.steps()
+
+    if t_kind not in (Token.RADIUS, Token.BBOX):
+        # point target vs point candidate: every verb reduces to
+        # coordinate (in)equality (runtime.go:1662-1700) — stay in
+        # Catalyst, no Python
+        eq = (F.col("a_lat") == F.col("b_lat")) & (F.col("a_lon") == F.col("b_lon"))
+        pred = ~eq if op in (Token.NINTERSECTS, Token.NIN, Token.NNEAR) else eq
+        return cand.where(pred).select("_rowkey", "b_id")
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spinix_spark.engine.runtime import DeviceBatch
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            apdf = pd.DataFrame(
+                {
+                    "device_id": pdf["a_id"].to_numpy(object),
+                    "lat": pdf["a_lat"].to_numpy(np.float64),
+                    "lon": pdf["a_lon"].to_numpy(np.float64),
+                }
+            )
+            batch = DeviceBatch(apdf)
+            rings = batch.rings(t_meters, t_steps)
+            pred = _dd_verb_mask(
+                op,
+                t_kind,
+                rings,
+                batch,
+                Token.DEVICE,
+                pdf["b_lat"].to_numpy(np.float64),
+                pdf["b_lon"].to_numpy(np.float64),
+                0.0,
+                0,
+            )
+            yield pdf.loc[pred, ["_rowkey", "b_id"]]
+
+    return cand.mapInPandas(refine, schema=_PAIR_SCHEMA)
+
+
+def at_row_matches(pairs: DataFrame) -> DataFrame:
+    """Per-row verdict: refs = sorted satisfied candidate ids (the set
+    equals the kernel's; order is canonicalized)."""
+    return (
+        pairs.groupBy("_rowkey")
+        .agg(F.sort_array(F.collect_set("b_id")).alias("_at_refs"))
+    )
+
+
+def snapshot_df_from_points(points: DataFrame) -> DataFrame:
+    """Latest position per device as a DataFrame — the fact-scale form
+    of spark_pipeline.snapshot_from_points (InsertOrReplace set form,
+    devices.go:105-147) with NO driver collect: one shuffle on
+    device_id, window row_number, done."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("device_id").orderBy(
+        F.col("datetime").desc(), F.col("lat").desc(), F.col("lon").desc()
+    )
+    cols = [c for c in ("device_id", "layer_id", "lat", "lon", "datetime") if c in points.columns]
+    return (
+        points.select(*cols)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -443,7 +443,9 @@ def _dd_verb_mask(
     else:  # other is a point
         if target_rings is not None:
             pin = points_in_ring(
-                np.full(n, other_lat), np.full(n, other_lon), target_rings
+                np.broadcast_to(np.asarray(other_lat, dtype=np.float64), (n,)),
+                np.broadcast_to(np.asarray(other_lon, dtype=np.float64), (n,)),
+                target_rings,
             )
             if op in (Token.INTERSECTS, Token.NEAR, Token.IN):
                 return pin

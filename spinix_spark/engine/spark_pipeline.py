@@ -178,11 +178,95 @@ def _sql_rule_events(points: DataFrame, engine: Engine, rule, plan) -> DataFrame
     return out
 
 
+def _at_rule_events(
+    points: DataFrame, engine: Engine, rule, at_node, devices_df: DataFrame,
+    n_salt: int = 0,
+) -> DataFrame | None:
+    """Event rows for one devices(@) rule via the fact-scale pair-join
+    strategy (engine/devices_at.py): no snapshot broadcast, no driver
+    collect, no per-snapshot-device Python loop. Returns None when a
+    non-@ node is not Catalyst-compilable (caller falls back to the
+    broadcast kernel path)."""
+    from spinix_spark.engine.devices_at import at_candidate_pairs, at_row_matches
+    from spinix_spark.engine.sql_compile import compile_node_sql
+
+    points.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+    spec = rule.spec
+    props = spec.props
+    columns = set(points.columns)
+    node_sqls = []
+    for n in spec.nodes:
+        if n is at_node:
+            node_sqls.append(None)
+        else:
+            ns = compile_node_sql(n, engine, props, columns)
+            if ns is None:
+                return None
+            node_sqls.append(ns)
+
+    base = points.where(F.expr(_rule_prune_expr_for(engine, rule))).where(
+        F.col("layer_id") == props.layer
+    )
+    key_cols = [
+        c for c in ("url", "device_id", "datetime", "lat", "lon") if c in columns
+    ]
+    base = base.withColumn("_rowkey", F.xxhash64(*key_cols))
+    pairs = at_candidate_pairs(base, devices_df, at_node, engine.scheme, n_salt=n_salt)
+    joined = base.join(at_row_matches(pairs), "_rowkey")
+
+    ok_sqls = ["true" if ns is None else ns.ok_sql for ns in node_sqls]
+    acc = ok_sqls[0]
+    recorded = ["true"]
+    for j in range(1, len(ok_sqls)):
+        recorded.append(acc)
+        acc = f"({acc} AND {ok_sqls[j]})"
+
+    url_sql = "url" if "url" in columns else "''"
+    dt_sql = "CAST(datetime AS BIGINT)" if "datetime" in columns else "CAST(0 AS BIGINT)"
+    spec_lit = spec.source.replace("'", "''")
+    outs = []
+    for j, n in enumerate(spec.nodes):
+        ns = node_sqls[j]
+        if ns is None:
+            left_kw, right_kw, op_s, refs_sql = (
+                "device", "devices", str(at_node.op), "_at_refs",
+            )
+        else:
+            left_kw, right_kw, op_s, refs_sql = (
+                ns.left_kw, ns.right_kw, ns.op, ns.refs_sql,
+            )
+        outs.append(
+            joined.where(F.expr(f"({acc}) AND {recorded[j]} AND {ok_sqls[j]}")).selectExpr(
+                "'event' AS row_type",
+                f"{url_sql} AS url",
+                "device_id",
+                f"'{rule.rule_id}' AS rule_id",
+                f"'{spec_lit}' AS spec",
+                "true AS ok",
+                f"'{left_kw}' AS left_kw",
+                f"'{right_kw}' AS right_kw",
+                f"'{op_s}' AS op",
+                f"{refs_sql} AS right_refs",
+                f"{dt_sql} AS datetime",
+                "CAST(0 AS BIGINT) AS last_seen",
+                "CAST(0 AS BIGINT) AS last_reset",
+                "CAST(0 AS BIGINT) AS hits",
+                "CAST(0 AS BIGINT) AS now",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
 def detect_batch_spark(
     points: DataFrame,
     engine: Engine,
     state_rows: list[dict] | None = None,
     prefer_sql: bool = True,
+    devices_df: DataFrame | None = None,
+    at_salt: int = 0,
 ) -> DataFrame:
     """Evaluate every registered rule over a points DataFrame.
 
@@ -190,24 +274,40 @@ def detect_batch_spark(
     'state' for updated trigger states). Use :func:`split_output` to
     get (events, states).
 
-    Per-rule physical strategy: rules whose shape compiles to pure
-    Catalyst expressions (engine/sql_compile.py) run entirely
-    JVM-side; the rest run through the vectorized-kernel mapInPandas
-    path. Both produce identical rows (cross-path parity is tested);
-    ``prefer_sql=False`` forces the kernel path everywhere.
+    Per-rule physical strategy:
+    1. ``devices_df`` given + rule is a stateless all-AND devices(@)
+       shape → fact-scale pair-join (engine/devices_at.py): the device
+       snapshot stays a DataFrame (no broadcast, no driver collect).
+    2. Rule compiles to pure Catalyst expressions
+       (engine/sql_compile.py) → entirely JVM-side.
+    3. Otherwise → vectorized-kernel mapInPandas path with the
+       broadcast snapshot (engine.devices).
+    All strategies produce identical rows (cross-path parity tested);
+    ``prefer_sql=False`` forces the kernel path for 2/3.
     """
+    from spinix_spark.engine.devices_at import devices_at_node
     from spinix_spark.engine.sql_compile import try_compile_rule_sql
 
     sql_planned = []
     kernel_rules = []
+    at_outs = []
     for r in engine.rules.values():
+        if devices_df is not None and prefer_sql:
+            at_node = devices_at_node(r)
+            if at_node is not None:
+                ev = _at_rule_events(
+                    points, engine, r, at_node, devices_df, n_salt=at_salt
+                )
+                if ev is not None:
+                    at_outs.append(ev)
+                    continue
         plan = try_compile_rule_sql(engine, r) if prefer_sql else None
         if plan is not None:
             sql_planned.append((r, plan))
         else:
             kernel_rules.append(r)
 
-    sql_outs = [
+    sql_outs = at_outs + [
         _sql_rule_events(points, engine, r, plan) for r, plan in sql_planned
     ]
     if not kernel_rules:

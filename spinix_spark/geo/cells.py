@@ -110,9 +110,12 @@ class GridScheme:
 
     def kring_for_radius(self, meters: float) -> int:
         """Rings needed so a radius search around any point in a cell is
-        fully covered. Cell height ≈ size° × 111.32 km (width shrinks
-        with latitude, so height is the conservative bound for k)."""
-        cell_m = self.size * 111_320.0
+        fully covered IN LATITUDE (exact meters-per-degree, R·π/180).
+        Longitude reach widens by 1/cos(lat) — callers joining at
+        non-trivial latitudes with radii near the cell size must widen
+        the column span per row (see engine/devices_at.py) or verify
+        cell width ≥ radius / cos(max |lat|)."""
+        cell_m = self.size * math.radians(1.0) * 6371e3
         return max(1, int(math.ceil(meters / cell_m)))
 
     # --- SQL (shared by Spark Catalyst and the DuckDB oracle) ----------

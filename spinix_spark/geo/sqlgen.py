@@ -98,3 +98,112 @@ def bbox_contains_sql(
         f"({lat_col} >= {minlat!r} AND {lat_col} <= {maxlat!r}"
         f" AND {lon_col} >= {minlon!r} AND {lon_col} <= {maxlon!r})"
     )
+
+
+def point_in_expr_ring_sql(
+    lat_col: str,
+    lon_col: str,
+    verts: Sequence[tuple[str, str]],
+    inclusive: bool = False,
+) -> str:
+    """point_in_ring_sql generalized to EXPRESSION vertices: ``verts``
+    is a closed list of (lat_expr, lon_expr) SQL strings (first ==
+    last). Same ray-cast + on-edge arithmetic as the constant-vertex
+    form and the NumPy kernel; degenerate edges contribute nothing
+    (straddle is false when both vertex lats compare equal)."""
+    terms = []
+    edge_terms = []
+    for (ay, ax), (by, bx) in zip(verts[:-1], verts[1:]):
+        straddle = f"(({ay} > {lat_col}) <> ({by} > {lat_col}))"
+        xint = f"(({bx} - {ax}) * ({lat_col} - {ay}) / ({by} - {ay}) + {ax})"
+        terms.append(
+            f"(CASE WHEN {straddle} AND {lon_col} < {xint} THEN 1 ELSE 0 END)"
+        )
+        if inclusive:
+            cross = (
+                f"(({bx} - {ax}) * ({lat_col} - {ay})"
+                f" - ({by} - {ay}) * ({lon_col} - {ax}))"
+            )
+            edge_terms.append(
+                f"({cross} = 0.0"
+                f" AND {lon_col} >= LEAST({ax}, {bx}) AND {lon_col} <= GREATEST({ax}, {bx})"
+                f" AND {lat_col} >= LEAST({ay}, {by}) AND {lat_col} <= GREATEST({ay}, {by}))"
+            )
+    total = " + ".join(terms) if terms else "0"
+    crossing = f"((({total}) % 2) = 1)"
+    if inclusive and edge_terms:
+        return f"({crossing} OR {' OR '.join(edge_terms)})"
+    return crossing
+
+
+def dest_point_sql(
+    lat_col: str, lon_col: str, meters: float, bearing_deg: float
+) -> tuple[str, str]:
+    """Destination point along a constant bearing/distance from a
+    lat/lon column pair — the SQL form of geodesy.destination_point
+    with the distance/bearing trig precomputed to constants."""
+    import math
+
+    delta = float(meters) / EARTH_RADIUS_M
+    cd = math.cos(delta)
+    sd = math.sin(delta)
+    theta = math.radians(float(bearing_deg))
+    ct = math.cos(theta)
+    st = math.sin(theta)
+    sin_phi2 = (
+        f"(SIN(RADIANS({lat_col})) * {cd!r}"
+        f" + COS(RADIANS({lat_col})) * {sd!r} * {ct!r})"
+    )
+    lat2 = f"DEGREES(ASIN({sin_phi2}))"
+    lon2 = (
+        f"DEGREES(RADIANS({lon_col}) + ATAN2({st!r} * {sd!r} * COS(RADIANS({lat_col})),"
+        f" {cd!r} - SIN(RADIANS({lat_col})) * {sin_phi2}))"
+    )
+    return lat2, lon2
+
+
+def buffer_ring_verts_sql(
+    lat_col: str, lon_col: str, meters: float, steps: int
+) -> list[tuple[str, str]]:
+    """Closed 12-gon/4-gon ring vertices around a lat/lon column pair —
+    the SQL form of rings.circle_ring (same Go integer-division
+    bearings, same closing duplicate)."""
+    import math
+
+    bearings = [float(math.trunc((i * -360) / steps)) for i in range(steps + 1)]
+    verts = [dest_point_sql(lat_col, lon_col, meters, b) for b in bearings]
+    verts.append(verts[0])
+    return verts
+
+
+def point_in_buffer_ring_sql(
+    plat: str, plon: str, clat: str, clon: str, meters: float, steps: int,
+    inclusive: bool = True,
+) -> str:
+    """Point (plat, plon) inside the polygonized circle of ``meters``
+    around (clat, clon) — all four coordinates are SQL expressions.
+    Bit-compatible with the kernel's circle_ring + points_in_ring up to
+    libm last-ulp differences (PIP is robust to those off-edge)."""
+    verts = buffer_ring_verts_sql(clat, clon, meters, steps)
+    return point_in_expr_ring_sql(plat, plon, verts, inclusive=inclusive)
+
+
+def rect_from_center_pred_sql(
+    a_lat: str, a_lon: str, b_lat: str, b_lon: str, meters: float
+) -> str:
+    """(b_lat, b_lon) inside rect_from_center((a_lat, a_lon), meters) —
+    the exact candidacy test of Devices.Near (rings.rect_from_center:
+    constant dlat, latitude-corrected dlon with the clamped arcsin)."""
+    import math
+
+    r = float(meters) / EARTH_RADIUS_M
+    dlat = repr(math.degrees(r))
+    sin_r = repr(math.sin(r))
+    dlon = (
+        f"DEGREES(ASIN(LEAST(GREATEST({sin_r} / "
+        f"GREATEST(COS(RADIANS({a_lat})), 1e-12), -1.0), 1.0)))"
+    )
+    return (
+        f"({b_lat} >= {a_lat} - {dlat} AND {b_lat} <= {a_lat} + {dlat}"
+        f" AND {b_lon} >= {a_lon} - {dlon} AND {b_lon} <= {a_lon} + {dlon})"
+    )

@@ -240,6 +240,60 @@ def detect_range_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _doc_ids(ev)
 
 
+AT_RING_M = 250.0
+
+
+def detect_devices_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-scale ``devices(@)`` through the pair-join planner strategy
+    (op #2's ``@`` form at scale, engine/devices_at.py): the device
+    snapshot is the latest position per derived device, kept as a
+    DataFrame end to end — NO driver collect, NO snapshot broadcast,
+    no per-snapshot-device Python loop. Rule: each update's 250 m
+    12-gon must contain a snapshot device's point; n_refs counts the
+    matching snapshot devices."""
+    from spinix_spark.engine.devices_at import snapshot_df_from_points
+
+    engine = _engine()
+    engine.add_rule(
+        "device :radius 250m intersects devices(@)"
+        " { :center 42.935 -72.27 :radius 50km }",
+        rule_id="r" + "2" * 19,
+    )
+    pts = _points_as_devices(spark, sf_dir)
+    snap = snapshot_df_from_points(pts)
+    ev, _ = split_output(detect_batch_spark(pts, engine, devices_df=snap))
+    return ev.select(
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        F.size("right_refs").cast("bigint").alias("n_refs"),
+    ).orderBy("doc_id")
+
+
+def _devices_at_oracle() -> str:
+    from spinix_spark.geo.sqlgen import (
+        point_in_buffer_ring_sql,
+        rect_from_center_pred_sql,
+    )
+
+    slots = (
+        "SELECT CAST(doc_id % 37 AS BIGINT) AS device_slot, doc_id, lat, lon, datetime "
+        f"FROM ({_PSEL}) q"
+    )
+    latest = (
+        "SELECT device_slot, lat, lon FROM (SELECT device_slot, lat, lon, "
+        "ROW_NUMBER() OVER (PARTITION BY device_slot "
+        "ORDER BY datetime DESC, lat DESC, lon DESC) AS rn FROM p) t WHERE rn = 1"
+    )
+    cand = rect_from_center_pred_sql("a.lat", "a.lon", "b.lat", "b.lon", AT_RING_M)
+    pir = point_in_buffer_ring_sql(
+        "b.lat", "b.lon", "a.lat", "a.lon", AT_RING_M, 12, inclusive=True
+    )
+    return (
+        f"WITH p AS ({slots}), latest AS ({latest}) "
+        f"SELECT a.doc_id, COUNT(*) AS n_refs FROM p a JOIN latest b "
+        f"ON {cand} AND {pir} GROUP BY a.doc_id ORDER BY doc_id"
+    )
+
+
 # oracle for the stateless pipeline: same semantics as rule_composite
 DETECT_STATELESS_ORACLE = f"SELECT doc_id FROM ({Q_RULE_COMPOSITE}) q ORDER BY doc_id"
 
@@ -338,6 +392,7 @@ DETECT_QUERIES: dict[str, tuple] = {
     "detect_stateful_trigger": (detect_stateful_trigger, DETECT_ONCE_ORACLE),
     "detect_trigger_times": (detect_trigger_times, DETECT_TIMES_ORACLE),
     "detect_trigger_every": (detect_trigger_every, DETECT_EVERY_ORACLE),
+    "detect_devices_at": (detect_devices_at, _devices_at_oracle()),
     "detect_dd_membership": (detect_dd_membership, _dd_membership_oracle()),
     "detect_equal_devices": (detect_equal_devices, _equal_devices_oracle()),
     "detect_range_datetime": (detect_range_datetime, DETECT_RANGE_DT_ORACLE),
