@@ -138,24 +138,34 @@ def _pair_cos(spark_side: bool) -> str:
     return f"({dot} / ({na} * {nb}))"
 
 
-Q_NEARDUP_SPARK = (
-    f"SELECT a.vec_id AS a_id, b.vec_id AS b_id, ROUND({_pair_cos(True)}, 8) AS cos_sim "
-    f"FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-    f"AND {_bucket_expr('a.embedding', False)} = {_bucket_expr('b.embedding', False)} "
-    f"WHERE a.vec_id < {NEARDUP_SCOPE} AND b.vec_id < {NEARDUP_SCOPE} "
-    f"AND {_pair_cos(True)} >= {NEARDUP_T!r}"
-)
-Q_NEARDUP_DUCK = (
-    f"SELECT a.vec_id AS a_id, b.vec_id AS b_id, ROUND({_pair_cos(False)}, 8) AS cos_sim "
-    f"FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-    f"AND {_bucket_expr('a.embedding', True)} = {_bucket_expr('b.embedding', True)} "
-    f"WHERE a.vec_id < {NEARDUP_SCOPE} AND b.vec_id < {NEARDUP_SCOPE} "
-    f"AND {_pair_cos(False)} >= {NEARDUP_T!r}"
-)
+# NAMED CAP (embed_neardup_pairs only): vec_id < NEARDUP_SCOPE bounds
+# the oracle-check slice. embed_neardup_full below runs the SAME
+# bucketed self-join over the whole table — the bucket equi-join keys
+# the pair work by the 2^SIGN_DIMS sign buckets, so it has no
+# quadratic blowup and IS the scale path.
+def _neardup_sql(spark_side: bool, scope: int | None) -> str:
+    one_based = not spark_side
+    where_scope = (
+        f"a.vec_id < {scope} AND b.vec_id < {scope} AND " if scope else ""
+    )
+    return (
+        f"SELECT a.vec_id AS a_id, b.vec_id AS b_id, "
+        f"ROUND({_pair_cos(spark_side)}, 8) AS cos_sim "
+        f"FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        f"AND {_bucket_expr('a.embedding', one_based)} = {_bucket_expr('b.embedding', one_based)} "
+        f"WHERE {where_scope}{_pair_cos(spark_side)} >= {NEARDUP_T!r}"
+    )
+
+
+Q_NEARDUP_SPARK = _neardup_sql(True, NEARDUP_SCOPE)
+Q_NEARDUP_DUCK = _neardup_sql(False, NEARDUP_SCOPE)
+Q_NEARDUP_FULL_SPARK = _neardup_sql(True, None)
+Q_NEARDUP_FULL_DUCK = _neardup_sql(False, None)
 
 
 ANN_QUERIES: dict[str, tuple] = {
     "ann_brute_topk": _mk(Q_TOPK_SPARK, Q_TOPK_DUCK),
     "ann_lsh_bucket": _mk(Q_LSH_SPARK, Q_LSH_DUCK),
     "embed_neardup_pairs": _mk(Q_NEARDUP_SPARK, Q_NEARDUP_DUCK),
+    "embed_neardup_full": _mk(Q_NEARDUP_FULL_SPARK, Q_NEARDUP_FULL_DUCK),
 }

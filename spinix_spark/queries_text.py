@@ -153,6 +153,11 @@ def _jaccard_sql(shingles_sql: str) -> str:
     )
 
 
+# NAMED CAP (ngram_jaccard_pairs only): the all-pairs shared-shingle
+# self-join is quadratic per shingle, so the ORACLE-CHECK variant is
+# bounded to doc_id < 200 by design. The full-table scale path is
+# ngram_jaccard_lsh below: exact Jaccard restricted to LSH candidate
+# pairs — no id cap, no quadratic blowup.
 _JACCARD_SCOPE = "AND doc_id < 200"
 
 Q_JACCARD_SPARK = _jaccard_sql(spark_shingles(_JACCARD_SCOPE))
@@ -257,9 +262,69 @@ def _cached_signatures(spark: SparkSession, sf_dir: str, view: str = "mh_sig"):
     return sig
 
 
+LSH_SALT = 8
+
+
+def _lsh_pairs_from_salted(mh_source: str, n_salt: int = LSH_SALT) -> str:
+    """Salted Spark form of the band-bucket pair join: a hot LSH bucket
+    with H members is a single join key whose pair work is H² in ONE
+    task (AQE splits partitions, not keys). Salting the left side by
+    hash(doc_id) % S and exploding the right side over all S salts
+    splits that key into S sub-keys of H·H/S work each — same result
+    set (values asserted against the unsalted DuckDB oracle)."""
+    rows_per_band = N_HASHES // BANDS
+    bucket_cols = ", ".join(
+        f"CAST(MIN(CASE WHEN j % {rows_per_band} = {r} THEN mh END) AS STRING)"
+        for r in range(rows_per_band)
+    )
+    bk = (
+        f"SELECT doc_id, CAST(FLOOR(j / {float(rows_per_band)!r}) AS BIGINT) AS band, "
+        f"CONCAT_WS(',', {bucket_cols}) AS bucket FROM {mh_source} "
+        f"GROUP BY doc_id, CAST(FLOOR(j / {float(rows_per_band)!r}) AS BIGINT)"
+    )
+    return (
+        f"WITH bk AS ({bk}), "
+        f"ba AS (SELECT *, pmod(xxhash64(doc_id), {n_salt}) AS sb FROM bk), "
+        f"bb AS (SELECT bk.*, s AS sb FROM bk "
+        f"LATERAL VIEW explode(sequence(0, {n_salt - 1})) t AS s) "
+        "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM ba a "
+        "JOIN bb b ON a.band = b.band AND a.bucket = b.bucket "
+        "AND a.sb = b.sb AND a.doc_id < b.doc_id"
+    )
+
+
 def spark_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _cached_signatures(spark, sf_dir)
-    return spark.sql(_lsh_pairs_from("mh_sig"))
+    return spark.sql(_lsh_pairs_from_salted("mh_sig"))
+
+
+def _jaccard_verify_sql(shingles_sql: str, pairs_sql: str) -> str:
+    """Exact n-gram Jaccard computed ONLY for LSH candidate pairs —
+    the dedup pipeline's verify stage over the FULL table: the shingle
+    join is keyed by the (small) candidate pair set instead of
+    self-joining every shared shingle (the scale path that replaces
+    ngram_jaccard_pairs' doc_id<200 oracle slice)."""
+    return (
+        f"WITH s AS ({shingles_sql}), cand AS ({pairs_sql}), "
+        "cnt AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id), "
+        "inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS n_inter FROM cand c "
+        "JOIN s a ON a.doc_id = c.a_id JOIN s b ON b.doc_id = c.b_id AND b.sh = a.sh "
+        "GROUP BY c.a_id, c.b_id) "
+        "SELECT a_id, b_id, CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) AS jaccard "
+        "FROM inter JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id"
+    )
+
+
+def spark_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _cached_signatures(spark, sf_dir)
+    return spark.sql(
+        _jaccard_verify_sql(spark_shingles(), _lsh_pairs_from_salted("mh_sig"))
+    )
+
+
+Q_JACCARD_LSH_DUCK = _jaccard_verify_sql(
+    duck_shingles(), _lsh_pairs_sql(Q_MINHASH_DUCK)
+)
 
 
 def _unigrams(spark_side: bool, extra: str = "") -> str:
@@ -306,6 +371,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "quality_score": _shared(Q_QUALITY),
     "lang_id": _shared(Q_LANG_ID),
     "ngram_jaccard_pairs": _split(Q_JACCARD_SPARK, Q_JACCARD_DUCK),
+    "ngram_jaccard_lsh": (spark_jaccard_lsh, Q_JACCARD_LSH_DUCK),
     "minhash_signatures": _split(Q_MINHASH_SPARK, Q_MINHASH_DUCK),
     "minhash_lsh_pairs": (spark_lsh_pairs, Q_LSH_DUCK),
     "simhash": _split(Q_SIMHASH_SPARK, Q_SIMHASH_DUCK),

@@ -44,7 +44,13 @@ def stream_detect(
     checkpoint_dir: str | None = None,
     trigger_available_now: bool = True,
 ):
-    """Run detection over a streaming points DataFrame.
+    """Run detection over a streaming points DataFrame — the
+    DIMENSION-SCALE demo form: it maintains the device snapshot and
+    trigger state on the driver (collects each micro-batch), which is
+    only appropriate when the device universe is small. The fact-scale
+    forms are :func:`stream_detect_scalable` (snapshot as parquet
+    state, no fact-side collect) and keyed_detect.keyed_stream_detect
+    (per-device trigger state in Spark's state store).
 
     ``sink(events_df, batch_id)`` receives each micro-batch's event
     rows. The engine's snapshot and trigger state advance between
@@ -64,6 +70,90 @@ def stream_detect(
             [r.asDict() for r in batch_df.collect()]
         )
         batch_df.unpersist()
+
+    writer = points_stream.writeStream.foreachBatch(process).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_detect_scalable(
+    points_stream: DataFrame,
+    engine: Engine,
+    sink: Callable[[DataFrame, int], None],
+    work_dir: str,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+    at_salt: int = 0,
+):
+    """Fact-scale micro-batch detection: NOTHING fact-sized ever
+    reaches the driver.
+
+    The device-position snapshot lives as a parquet table under
+    ``work_dir`` (latest position per device), versioned per
+    micro-batch: batch N is evaluated against version N-1 — the
+    reference's evaluate-then-insert ordering (engine.go:218-221) —
+    then ``snapshot_vN = latest(snapshot_v(N-1) ∪ batch)`` is written
+    with DataFrame ops only (window + filter, one shuffle on
+    device_id). ``devices(@)`` rules route through the pair-join
+    strategy (engine/devices_at.py) against that snapshot DataFrame;
+    zones/rules stay broadcast (dimension-sized).
+
+    Trigger state is NOT handled here — rules with a ``:trigger`` use
+    keyed_detect.keyed_stream_detect, where per-(device, rule) state
+    lives in Spark's state store. Mixing both: run the stateless/@
+    rules through this stream and the stateful ones through the keyed
+    stream.
+    """
+    from spinix_spark.engine.devices_at import snapshot_df_from_points
+
+    if any(r.spec.props.repeat != 0 for r in engine.rules.values()):
+        raise ValueError(
+            "stream_detect_scalable handles stateless rules only; route "
+            ":trigger rules through keyed_stream_detect (state-store keyed)"
+        )
+
+    snap_cols = ["device_id", "layer_id", "lat", "lon", "datetime"]
+
+    def _latest_version(spark) -> tuple[int, DataFrame | None]:
+        import os
+
+        base = os.path.join(work_dir, "snapshot")
+        if not os.path.isdir(base):
+            return -1, None
+        versions = sorted(
+            int(d[1:]) for d in os.listdir(base) if d.startswith("v")
+        )
+        if not versions:
+            return -1, None
+        v = versions[-1]
+        return v, spark.read.parquet(os.path.join(base, f"v{v}"))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        _v, snap = _latest_version(spark)
+        out = detect_batch_spark(
+            batch_df,
+            engine,
+            devices_df=snap
+            if snap is not None
+            else spark.createDataFrame([], "device_id string, layer_id string, lat double, lon double"),
+            at_salt=at_salt,
+        )
+        events, _ = split_output(out)
+        sink(events, batch_id)
+        have = [c for c in snap_cols if c in batch_df.columns]
+        merged = batch_df.select(*have)
+        if snap is not None:
+            merged = snap.select(*have).unionByName(merged)
+        new_snap = snapshot_df_from_points(merged)
+        new_snap.write.mode("overwrite").parquet(
+            os.path.join(work_dir, "snapshot", f"v{batch_id}")
+        )
 
     writer = points_stream.writeStream.foreachBatch(process).outputMode("append")
     if checkpoint_dir:
