@@ -127,7 +127,8 @@ def main() -> None:
         "pass_raw": raw_eff >= 0.8,
         "pass_hw_calibrated": raw_eff / hw_eff >= 0.8,
     }
-    with open(os.path.join(HERE, "SCALING.json"), "w") as f:
+    name = "SCALING.json" if (lo_n, hi_n) == (2, 8) else f"SCALING_{lo_n}_{hi_n}.json"
+    with open(os.path.join(HERE, name), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 

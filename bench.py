@@ -115,8 +115,11 @@ HEADLINE_QUERIES = [
     "pip_polygon",
     "zone_join",
     "device_near_device",
+    "detect_devices_at",  # fact-scale devices(@) pair-join strategy
+    "detect_stateful_trigger",  # two-batch trigger fold (keyed state)
     "dedup_exact",
-    "minhash_lsh_pairs",
+    "minhash_lsh_pairs",  # salted band join
+    "ngram_jaccard_lsh",  # LSH-prefiltered exact-Jaccard verify (full table)
     "simhash",
     "ann_brute_topk",
     "embed_neardup_pairs",
@@ -124,6 +127,28 @@ HEADLINE_QUERIES = [
     "pricing_summary",
     "regex_token_count",
 ]
+
+
+def run_hot_cell_pairs(spark, n_pages: int) -> dict:
+    """Hot-cell radius self-join: the synthetic pages put ~10% of all
+    points into ONE grid cell; the two-level salted pair join
+    (engine/joins.py:near_pairs_salted) must grind through that cell's
+    quadratic core without a straggler task."""
+    from pyspark.sql import functions as F
+
+    from spinix_spark.engine.joins import near_pairs_salted
+    from spinix_spark.geo.cells import GridScheme
+    from spinix_spark.io.geoparse import cell_column, geoparse_points
+    from spinix_spark.io.pages import synthesize_pages
+
+    fine = GridScheme(res=9)
+    points = (
+        geoparse_points(synthesize_pages(spark, n_pages))
+        .withColumn("cell", cell_column(fine))
+        .withColumn("doc_id", F.xxhash64("url"))
+    )
+    pairs = near_pairs_salted(points, fine, radius_m=150.0, n_salt=8)
+    return {"n_hot_pairs": int(pairs.count())}
 
 
 def main() -> None:
@@ -153,6 +178,12 @@ def main() -> None:
         n = qmap[name](spark, sf_dir).count()
         queries[name] = round(time.time() - t0, 3)
         pipe_stats[f"rows_{name}"] = int(n)
+
+    # hot-cell salted pair join over ~1/10 of the pipeline's pages
+    # (the pair count in the hot cell grows quadratically with input)
+    t0 = time.time()
+    pipe_stats.update(run_hot_cell_pairs(spark, max(n_pages // 10, 10_000)))
+    queries["hot_cell_pairs"] = round(time.time() - t0, 3)
 
     total = round(sum(queries.values()), 3)
     out = {

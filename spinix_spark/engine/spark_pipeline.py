@@ -144,6 +144,12 @@ def _sql_rule_events(points: DataFrame, engine: Engine, rule, plan) -> DataFrame
     url_sql = "url" if "url" in cols else "''"
     dt_sql = "CAST(datetime AS BIGINT)" if "datetime" in cols else "CAST(0 AS BIGINT)"
     pruned = points.where(F.expr(_rule_prune_expr_for(engine, rule)))
+    if plan.prep:
+        # buffered-device ring vertices etc. as named columns, so the
+        # predicate expressions below stay codegen-sized
+        pruned = pruned.selectExpr(
+            "*", *[f"{sql} AS {name}" for name, sql in plan.prep]
+        )
     sel = ["*", f"{plan.final_sql} AS _final"]
     for j, ns in enumerate(plan.nodes):
         sel.append(f"{ns.ok_sql} AS _ok{j}")
@@ -211,6 +217,9 @@ def _at_rule_events(
         c for c in ("url", "device_id", "datetime", "lat", "lon") if c in columns
     ]
     base = base.withColumn("_rowkey", F.xxhash64(*key_cols))
+    prep = [p for ns in node_sqls if ns is not None for p in ns.prep]
+    if prep:
+        base = base.selectExpr("*", *[f"{sql} AS {name}" for name, sql in prep])
     pairs = at_candidate_pairs(base, devices_df, at_node, engine.scheme, n_salt=n_salt)
     joined = base.join(at_row_matches(pairs), "_rowkey")
 

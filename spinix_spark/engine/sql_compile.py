@@ -11,12 +11,19 @@ Eligible today (falls back to the vectorized-kernel mapInPandas path
 otherwise, chosen per rule):
 
 - stateless rules only (trigger state is a keyed stateful stage)
-- spatial nodes: point-device (no ``:radius``/``:bbox`` buffer) versus
-  explicit zone refs (polygon / multiPolygon / rect / circle / point)
-  with any verb — the zone geometry is constant, so the exact
-  predicate is a fixed expression: boundary-INCLUSIVE ray-cast PIP
-  (identical arithmetic to geo/predicates.py, including the on-edge
-  clause), exact haversine for circle zones, equality for point zones
+- spatial nodes: point devices versus zone refs or ``@`` (polygon /
+  multiPolygon / rect / circle / point / LINE / multiLine /
+  collections) with any verb — the zone geometry is constant, so the
+  exact predicate is a fixed expression: boundary-INCLUSIVE ray-cast
+  PIP (identical arithmetic to geo/predicates.py, including the
+  on-edge clause), exact haversine for circle zones, equality for
+  point zones, per-segment on-edge terms for lines
+- BUFFERED devices (``:radius`` 12-gon / ``:bbox`` rect) versus
+  polygon/rect/point/line zones whose edge count stays under
+  BUFFER_EDGE_CAP: the per-row ring vertices are destination-point
+  expressions of (lat, lon) projected as prep columns, and the
+  ring-ring / line-ring predicates replicate geo/predicates.py
+  term-for-term. Circle zones (64-gon) stay on the kernel path
 - distance comparators (EqualObjectOp) with their 50 m rounding and
   the reference's last-candidate-wins Ok (runtime.go:1795-1825)
 - every attribute op (int/float/string/time/datetime views of the
@@ -28,7 +35,8 @@ randomized cross-path parity test).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import itertools
+from dataclasses import dataclass, field
 
 from spinix_spark.dsl import ast_nodes as ast
 from spinix_spark.dsl.compiler import (
@@ -62,6 +70,33 @@ class NodeSQL:
     left_kw: str
     right_kw: str
     op: str
+    # (col_name, sql) pairs projected BEFORE ok_sql/refs_sql evaluate —
+    # buffered-device ring vertices land here so each predicate
+    # expression references short column names and whole-stage codegen
+    # stays under the JVM method-size limit
+    prep: list[tuple[str, str]] = field(default_factory=list)
+
+
+_prep_seq = itertools.count(1)
+
+# buffered-target compilation cap: zone rings/lines with more total
+# edges than this (e.g. 64-gon circle zones) stay on the kernel path —
+# the edge-pair SQL grows as target_edges × zone_edges
+BUFFER_EDGE_CAP = 16
+
+# Buffered-device (:radius/:bbox) rules CAN compile to Catalyst
+# (higher-order-function ring predicates, cross-path parity tested),
+# but MEASURED on local[8] at 200k rows the interpreted HOF lambdas are
+# ~250× slower than the vectorized Arrow+NumPy kernel (115 s vs 0.45 s
+# steady-state) — Spark's higher-order functions don't participate in
+# whole-stage codegen and allocate per-element structs. The kernel is
+# therefore the default physical plan for buffered shapes; flip this
+# on (or set SPINIX_COMPILE_BUFFERED=1) only where Python workers are
+# unavailable. Point-device predicates (scalar exprs, full codegen)
+# always compile.
+import os as _os
+
+COMPILE_BUFFERED = _os.environ.get("SPINIX_COMPILE_BUFFERED", "0") == "1"
 
 
 _CMP_SQL = {
@@ -145,28 +180,8 @@ def _sql_str(v: str) -> str:
     return "'" + v.replace("'", "''") + "'"
 
 
-def _zone_point_pred(zone, op: Token) -> str | None:
-    """Per-zone predicate for a POINT device (truth table of
-    runtime.go:1313-1333). Returns a boolean SQL expr or None if the
-    zone kind is not expressible."""
-    if zone.circle is not None:
-        clat, clon, r = zone.circle
-        inter = f"({haversine_sql('lat', 'lon', repr(clat), repr(clon))} <= {r!r})"
-        within = "false"
-    elif zone.kind in ("polygon", "multiPolygon", "rect") and zone.rings and not zone.lines and zone.points is None:
-        preds = [
-            point_in_ring_sql("lat", "lon", [(float(p[0]), float(p[1])) for p in ring], inclusive=True)
-            for ring in zone.rings
-        ]
-        inter = "(" + " OR ".join(preds) + ")"
-        within = "false"
-    elif zone.kind in ("point", "multiPoint") and zone.points is not None and not zone.rings and not zone.lines:
-        pts = [(float(p[0]), float(p[1])) for p in zone.points]
-        eqs = [f"(lat = {a!r} AND lon = {b!r})" for a, b in pts]
-        inter = "(" + " OR ".join(eqs) + ")"
-        within = "(" + " AND ".join(eqs) + ")"
-    else:
-        return None
+def _verb_table(op: Token, inter: str, within: str) -> str | None:
+    """spObjectOp truth table (runtime.go:1313-1333)."""
     if op is Token.INTERSECTS:
         return inter
     if op is Token.NINTERSECTS:
@@ -180,6 +195,143 @@ def _zone_point_pred(zone, op: Token) -> str | None:
     if op is Token.NIN:
         return f"(NOT {within})"
     return None
+
+
+def _zone_point_pred(zone, op: Token) -> str | None:
+    """Per-zone predicate for a POINT device (truth table of
+    runtime.go:1313-1333). Component-based like the kernel's
+    zone_intersects_point / zone_within_point — covers polygons,
+    rects, points, LINES and geometry collections. Returns a boolean
+    SQL expr or None if the zone kind is not expressible."""
+    from spinix_spark.geo.sqlgen import point_on_line_sql
+
+    if zone.circle is not None:
+        clat, clon, r = zone.circle
+        inter = f"({haversine_sql('lat', 'lon', repr(clat), repr(clon))} <= {r!r})"
+        within = "false"
+        return _verb_table(op, inter, within)
+    inter_terms: list[str] = []
+    for ring in zone.rings:
+        inter_terms.append(
+            point_in_ring_sql(
+                "lat", "lon", [(float(p[0]), float(p[1])) for p in ring],
+                inclusive=True,
+            )
+        )
+    for line in zone.lines:
+        inter_terms.append(
+            point_on_line_sql(
+                "lat", "lon", [(float(p[0]), float(p[1])) for p in line]
+            )
+        )
+    pts = (
+        [(float(p[0]), float(p[1])) for p in zone.points]
+        if zone.points is not None
+        else []
+    )
+    for a, b in pts:
+        inter_terms.append(f"(lat = {a!r} AND lon = {b!r})")
+    if not inter_terms:
+        return None
+    inter = "(" + " OR ".join(inter_terms) + ")"
+    # zone_within_point: only a pure point object can be "within" a point
+    if zone.kind in ("point", "multiPoint") and pts and not zone.rings and not zone.lines:
+        within = "(" + " AND ".join(f"(lat = {a!r} AND lon = {b!r})" for a, b in pts) + ")"
+    else:
+        within = "false"
+    return _verb_table(op, inter, within)
+
+
+def _buffered_zone_pred(
+    zone, op: Token, kind: Token, meters: float, steps: int,
+    prep: list[tuple[str, str]],
+) -> str | None:
+    """Per-zone predicate for a BUFFERED device (``:radius`` 12-gon /
+    ``:bbox`` rect) — the SQL form of the kernel's
+    zone_intersects_poly / zone_within_poly / zone_*_rect
+    (engine/runtime.py:249-287) with the per-row ring vertices
+    registered as prep columns. None when the zone's edge count would
+    blow past BUFFER_EDGE_CAP (circle zones polygonize to 64-gons) —
+    those stay on the kernel path."""
+    from spinix_spark.geo.sqlgen import (
+        buffer_ring_verts_sql,
+        const_ring_sql,
+        hof_line_intersects_ring_sql,
+        hof_pip_sql,
+        hof_ring_contains_pts_sql,
+        hof_ring_intersects_ring_sql,
+        struct_ring_sql,
+    )
+
+    n_edges = sum(len(r) - 1 for r in zone.rings) + sum(
+        len(l) - 1 for l in zone.lines
+    )
+    n_pts = 0 if zone.points is None else len(zone.points)
+    if n_edges > BUFFER_EDGE_CAP or n_pts > BUFFER_EDGE_CAP:
+        return None
+    if not zone.rings and not zone.lines and zone.points is None:
+        return None
+
+    uid = next(_prep_seq)
+    ring_col = f"_br{uid}"
+    raw = buffer_ring_verts_sql("lat", "lon", meters, steps)
+    if kind is Token.RADIUS:
+        prep.append((ring_col, struct_ring_sql(raw)))
+        n_t = len(raw)
+    else:  # BBOX: rect ring from the 4-step ring's bbox
+        lo_y = "LEAST(" + ", ".join(v[0] for v in raw[:-1]) + ")"
+        hi_y = "GREATEST(" + ", ".join(v[0] for v in raw[:-1]) + ")"
+        lo_x = "LEAST(" + ", ".join(v[1] for v in raw[:-1]) + ")"
+        hi_x = "GREATEST(" + ", ".join(v[1] for v in raw[:-1]) + ")"
+        yl, yh = f"_b{uid}ylo", f"_b{uid}yhi"
+        xl, xh = f"_b{uid}xlo", f"_b{uid}xhi"
+        prep.append((yl, lo_y))
+        prep.append((yh, hi_y))
+        prep.append((xl, lo_x))
+        prep.append((xh, hi_x))
+        rect_ring = [(yl, xl), (yl, xh), (yh, xh), (yh, xl), (yl, xl)]
+        prep.append((ring_col, struct_ring_sql(rect_ring)))
+        n_t = 5
+
+    def c(v: float) -> str:
+        return repr(float(v))
+
+    inter_terms: list[str] = []
+    within_terms: list[str] = []
+    for ring in zone.rings:
+        zr = const_ring_sql(ring)
+        inter_terms.append(
+            hof_ring_intersects_ring_sql(ring_col, n_t, zr, len(ring))
+        )
+        within_terms.append(hof_ring_contains_pts_sql(ring_col, n_t, zr))
+    for line in zone.lines:
+        zl = const_ring_sql(line)
+        inter_terms.append(
+            hof_line_intersects_ring_sql(zl, len(line), ring_col, n_t)
+        )
+        within_terms.append(hof_ring_contains_pts_sql(ring_col, n_t, zl))
+    if zone.points is not None:
+        for p in zone.points:
+            pin = hof_pip_sql(c(p[0]), c(p[1]), ring_col, n_t)
+            inter_terms.append(pin)
+            within_terms.append(pin)
+
+    inter = "(" + " OR ".join(inter_terms) + ")"
+    if kind is Token.BBOX:
+        # zone_within_rect: zone bbox inside the target rect
+        b = zone.bbox
+        within = (
+            f"({c(b[0])} >= _b{uid}ylo AND {c(b[2])} <= _b{uid}yhi"
+            f" AND {c(b[1])} >= _b{uid}xlo AND {c(b[3])} <= _b{uid}xhi)"
+        )
+    else:
+        within = "(" + " AND ".join(within_terms) + ")" if within_terms else "false"
+    # factor the whole per-zone predicate into ONE boolean prep column:
+    # ok_sql and refs_sql both consume it, so the (already compact) HOF
+    # expression is analyzed and evaluated once per row
+    pred_col = f"_zp{uid}"
+    prep.append((pred_col, _verb_table(op, inter, within)))
+    return pred_col
 
 
 def _near_candidate_sql(zone, meters: float) -> str:
@@ -345,23 +497,43 @@ def compile_node_sql(node, engine, props, columns: set[str]) -> NodeSQL | None:
             op=str(node.op),
         )
     if isinstance(node, SpObjectOp):
-        if node.left.kind is not Token.DEVICE:
-            return None  # buffered devices build per-row rings → kernel path
+        kind = node.left.kind
+        if kind in (Token.RADIUS, Token.BBOX) and not COMPILE_BUFFERED:
+            return None  # measured: the vectorized kernel wins (see flag)
+        meters = node.left.meters()
+        steps = node.left.steps()
+        prep: list[tuple[str, str]] = []
+
+        def zone_pred(z) -> str | None:
+            if kind in (Token.RADIUS, Token.BBOX):
+                return _buffered_zone_pred(z, node.op, kind, meters, steps, prep)
+            return _zone_point_pred(z, node.op)
+
         if node.right.all and not node.right.refs:
             # ``@``: candidate universe = Objects.Near's bbox prefilter
-            # with the point device's 50 m floor radius
-            # (object.go:115-127) — per zone, candidacy is a fixed
-            # search-rect-vs-zone-bbox test, so the existential
+            # with the device's buffer reach (50 m floor, SMALL-tier
+            # clamp — object.go:115-127) — per zone, candidacy is a
+            # fixed search-rect-vs-zone-bbox test, so the existential
             # semantics (SURVEY.md §2A.1) stay exact: non-candidates
             # contribute nothing, satisfied candidates append refs.
+            from spinix_spark.geo.geodesy import (
+                SMALL_REGION_SIZE,
+                normalize_distance,
+            )
+
+            search_m = (
+                MIN_DIST_METERS
+                if meters <= 0
+                else normalize_distance(meters, SMALL_REGION_SIZE)
+            )
             pairs = []
             for z in engine.zones.all_zones():
                 if z.layer_id != props.layer:
                     continue
-                pred = _zone_point_pred(z, node.op)
+                pred = zone_pred(z)
                 if pred is None:
                     return None
-                cand = _near_candidate_sql(z, MIN_DIST_METERS)
+                cand = _near_candidate_sql(z, search_m)
                 pairs.append((f"({cand} AND {pred})", z.object_id))
             ok = "(" + " OR ".join(p for p, _ in pairs) + ")" if pairs else "false"
             return NodeSQL(
@@ -370,6 +542,7 @@ def compile_node_sql(node, engine, props, columns: set[str]) -> NodeSQL | None:
                 left_kw="device",
                 right_kw=str(node.right.kind),
                 op=str(node.op),
+                prep=prep,
             )
         if not node.right.refs:
             return None
@@ -378,7 +551,7 @@ def compile_node_sql(node, engine, props, columns: set[str]) -> NodeSQL | None:
             z = engine.zones.lookup(rid)
             if z is None or z.layer_id != props.layer:
                 continue
-            pred = _zone_point_pred(z, node.op)
+            pred = zone_pred(z)
             if pred is None:
                 return None
             pairs.append((pred, rid))
@@ -390,6 +563,7 @@ def compile_node_sql(node, engine, props, columns: set[str]) -> NodeSQL | None:
             left_kw="device",
             right_kw=str(node.right.kind),
             op=str(node.op),
+            prep=prep,
         )
     if isinstance(node, EqualObjectOp):
         cmp = _CMP_SQL[node.op]
@@ -532,13 +706,18 @@ class RuleSQLPlan:
     recorded_sql: list[str]
     final_sql: str
     layer_sql: str
+    prep: list[tuple[str, str]] = field(default_factory=list)
 
 
 def try_compile_rule_sql(engine, rule) -> RuleSQLPlan | None:
     """Compile a rule to pure Catalyst expressions, or None if any
     part needs the kernel path."""
     spec: CompiledSpec = rule.spec
-    if spec.is_stateful:
+    # any {...} props block marks a spec stateful (reference parity),
+    # but without a :trigger the gate is constant-true and state rows
+    # never affect events — only real triggers need the kernel/keyed
+    # path. Rules with just :center/:radius compile fine.
+    if spec.props.repeat != ast.REPEAT_NONE:
         return None
     columns = {
         "url", "device_id", "layer_id", "lat", "lon", "datetime",
@@ -564,6 +743,8 @@ def try_compile_rule_sql(engine, rule) -> RuleSQLPlan | None:
             recorded.append("true")
             acc = f"({acc} OR {nodes[j].ok_sql})"
     final = f"({acc} AND {layer_sql})"
+    prep = [p for ns in nodes for p in ns.prep]
     return RuleSQLPlan(
-        nodes=nodes, recorded_sql=recorded, final_sql=final, layer_sql=layer_sql
+        nodes=nodes, recorded_sql=recorded, final_sql=final, layer_sql=layer_sql,
+        prep=prep,
     )
