@@ -76,6 +76,18 @@ def _bbox_pred(b, pad_lat: float = 0.0, pad_lon: float = 0.0) -> str:
 
 _POSITIVE_ZONE_OPS = (Token.IN, Token.INTERSECTS, Token.NEAR)
 
+# every column the vectorized kernel can read (DeviceBatch fields +
+# attribute mappers + event provenance) — anything else (page text,
+# html, cell keys) is dead weight across the Arrow boundary and is
+# pruned before mapInPandas
+KERNEL_COLS = frozenset(
+    {
+        "url", "device_id", "layer_id", "lat", "lon", "datetime", "status",
+        "speed", "battery", "temperature", "humidity", "luminosity",
+        "pressure", "fuel_level", "alt", "model", "brand", "owner", "imei",
+    }
+)
+
 
 def _rule_prune_expr_for(engine: Engine, rule) -> str:
     """Catalyst-pushable prune predicate for one rule.
@@ -339,7 +351,9 @@ def detect_batch_spark(
     kernel_prune = " OR ".join(
         _rule_prune_expr_for(engine, r) for r in kernel_rules
     )
-    pruned = points.where(F.expr(kernel_prune))
+    pruned = points.where(F.expr(kernel_prune)).select(
+        *[c for c in points.columns if c in KERNEL_COLS]
+    )
     if any(r.spec.is_stateful for r in kernel_rules):
         # one owner task per device + deterministic per-device event
         # order: trigger state folds sequentially over (device_id,

@@ -252,14 +252,35 @@ Q_LSH_SPARK = _lsh_pairs_sql(Q_MINHASH_SPARK)
 Q_LSH_DUCK = _lsh_pairs_sql(Q_MINHASH_DUCK)
 
 
+# per-(application, sf_dir) memo: .cache() alone is not enough because
+# each call would build a NEW DataFrame (re-cached, recomputed) — the
+# minhash/LSH/jaccard/similarity queries all share one materialization
+_SIG_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _cached_df(spark: SparkSession, sf_dir: str, tag: str, sql: str, view: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
+    df = _SIG_CACHE.get(key)
+    if df is None:
+        load_tables(spark, sf_dir, ["documents"])
+        df = spark.sql(sql).cache()
+        _SIG_CACHE[key] = df
+    df.createOrReplaceTempView(view)
+    return df
+
+
 def _cached_signatures(spark: SparkSession, sf_dir: str, view: str = "mh_sig"):
-    """Compute + cache the minhash signatures once per session/sf —
+    """Minhash signatures, computed + cached ONCE per session/sf —
     Spark inlines (re-computes) CTEs per reference, so the LSH
-    self-join would otherwise evaluate the shingle pipeline twice."""
-    load_tables(spark, sf_dir, ["documents"])
-    sig = spark.sql(Q_MINHASH_SPARK).cache()
-    sig.createOrReplaceTempView(view)
-    return sig
+    self-join and the downstream verify queries would otherwise
+    evaluate the shingle pipeline repeatedly."""
+    return _cached_df(spark, sf_dir, "sig", Q_MINHASH_SPARK, view)
+
+
+def _cached_shingles(spark: SparkSession, sf_dir: str, view: str = "mh_shingles"):
+    """The exploded (doc_id, shingle) stream, cached for the exact-
+    Jaccard verify join (consumed twice as the a/b sides)."""
+    return _cached_df(spark, sf_dir, "shingles", spark_shingles(), view)
 
 
 LSH_SALT = 8
@@ -317,8 +338,9 @@ def _jaccard_verify_sql(shingles_sql: str, pairs_sql: str) -> str:
 
 def spark_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     _cached_signatures(spark, sf_dir)
+    _cached_shingles(spark, sf_dir)
     return spark.sql(
-        _jaccard_verify_sql(spark_shingles(), _lsh_pairs_from_salted("mh_sig"))
+        _jaccard_verify_sql("SELECT * FROM mh_shingles", _lsh_pairs_from_salted("mh_sig"))
     )
 
 
