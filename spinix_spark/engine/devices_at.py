@@ -64,7 +64,7 @@ def at_search_meters(node: SpDevicesOp) -> float:
     (devices.go:166-199)."""
     meters = node.left.meters()
     if node.op in (Token.NINTERSECTS, Token.NNEAR):
-        meters = _clamp_all_negated(node.op, meters)
+        meters = _clamp_all_negated(meters)
     return MIN_DIST_METERS if meters <= 0 else normalize_distance(meters, TINY_REGION_SIZE)
 
 

@@ -576,9 +576,11 @@ def _masked_dd_eval(
 # --- node evaluation -----------------------------------------------------
 
 
-def _clamp_all_negated(op: Token, meters: float) -> float:
+def _clamp_all_negated(meters: float) -> float:
     """Search-radius bump for negated verbs with ``@`` candidates
-    (runtime.go:1515-1525 — sequential ifs, replicated exactly)."""
+    (runtime.go:1515-1525 — sequential ifs, replicated exactly: a
+    radius below the TINY threshold is raised exactly TO it, so the
+    second branch only fires for radii that were already above)."""
     if meters < TINY_REGION_THRESHOLD_M:
         meters = TINY_REGION_THRESHOLD_M
     if meters > TINY_REGION_THRESHOLD_M:
@@ -716,7 +718,7 @@ def _eval_sp_devices(
         # vectorized one pass per snapshot device.
         search_meters = target_meters
         if node.op in (Token.NINTERSECTS, Token.NNEAR):
-            search_meters = _clamp_all_negated(node.op, search_meters)
+            search_meters = _clamp_all_negated(search_meters)
         search_m = (
             MIN_DIST_METERS
             if search_meters <= 0

@@ -423,8 +423,36 @@ def _sp_devices_sql(engine, left_lit, right_lit, op: Token) -> NodeSQL | None:
 
 
 def compile_node_sql(node, engine, props, columns: set[str]) -> NodeSQL | None:
+    from spinix_spark.dsl.compiler import SpDevicesObjectOp
+
     if isinstance(node, SpDevicesOp):
         return _sp_devices_sql(engine, node.left, node.right, node.op)
+    if isinstance(node, SpDevicesObjectOp):
+        # membership-gated zone op (runtime.go:1147-1191): delegate to
+        # the SpObjectOp form, then gate ok + refs on the device list
+        member = (
+            f"(device_id IN ({', '.join(_sql_str(r) for r in node.left.refs)}))"
+            if node.left.refs
+            else "false"
+        )
+        sub = SpObjectOp(
+            left=ast.DeviceLit(
+                kind=node.left.kind, unit=node.left.unit, value=node.left.value
+            ),
+            right=node.right,
+            op=node.op,
+        )
+        v = compile_node_sql(sub, engine, props, columns)
+        if v is None:
+            return None
+        return NodeSQL(
+            ok_sql=f"({member} AND {v.ok_sql})",
+            refs_sql=f"(CASE WHEN {member} THEN {v.refs_sql} ELSE array() END)",
+            left_kw=v.left_kw,
+            right_kw=v.right_kw,
+            op=v.op,
+            prep=v.prep,
+        )
     if isinstance(node, SpDDevicesOp):
         # membership gate on exactly one side then delegate
         # (runtime.go:1381-1431); both variants as guarded predicates

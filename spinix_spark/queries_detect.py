@@ -226,6 +226,33 @@ def detect_equal_devices(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def detect_devices_object(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op #4 spDevicesObjectOp: ``devices(list) INTERSECTS
+    polygon(pentagon)`` — zone containment membership-gated to an
+    explicit device list (runtime.go:1147-1191). Compiles to Catalyst
+    (membership is an IN filter, containment the fixed PIP)."""
+    engine = _engine()
+    members = ", ".join(_slot_id(s) for s in MEMBER_SLOTS)
+    engine.add_rule(
+        f"devices({members}) intersects polygon({PENTAGON_ID})",
+        rule_id="r" + "9" * 19,
+    )
+    ev, _ = split_output(detect_batch_spark(_points_as_devices(spark, sf_dir), engine))
+    return _doc_ids(ev)
+
+
+def _devices_object_oracle() -> str:
+    from spinix_spark.geo.sqlgen import point_in_ring_sql
+
+    slots = ", ".join(str(s) for s in MEMBER_SLOTS)
+    return (
+        f"SELECT doc_id FROM ({_PSEL}) p "
+        f"WHERE (doc_id % 37) IN ({slots}) AND "
+        + point_in_ring_sql("lat", "lon", PENTAGON)
+        + " ORDER BY doc_id"
+    )
+
+
 def detect_range_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op #17 rangeDateTimeOp: boundary-inclusive absolute-datetime
     range (runtime.go:1011-1067) through the pipeline; compiles to a
@@ -395,5 +422,6 @@ DETECT_QUERIES: dict[str, tuple] = {
     "detect_devices_at": (detect_devices_at, _devices_at_oracle()),
     "detect_dd_membership": (detect_dd_membership, _dd_membership_oracle()),
     "detect_equal_devices": (detect_equal_devices, _equal_devices_oracle()),
+    "detect_devices_object": (detect_devices_object, _devices_object_oracle()),
     "detect_range_datetime": (detect_range_datetime, DETECT_RANGE_DT_ORACLE),
 }

@@ -118,6 +118,21 @@ def test_buffered_device_compile_parity(spark, rule, monkeypatch):
     assert len(rows) > 0
 
 
+def test_devices_object_membership_compiles(spark):
+    """spDevicesObjectOp (devices(list) vs zone) compiles: membership
+    IN gate + delegated zone predicate — parity with the kernel."""
+    members = ", ".join(
+        "d" + np.base_repr(s, 32).lower().rjust(19, "0") for s in (1, 4, 9)
+    )
+    rule = f"devices({members}) intersects polygon({ZPOLY})"
+    eng = _engine(rule)
+    from spinix_spark.engine.sql_compile import try_compile_rule_sql
+
+    assert try_compile_rule_sql(eng, eng.rules["r" + "0" * 19]) is not None
+    rows = _both_paths(spark, rule)
+    assert len(rows) > 0
+
+
 def test_buffered_stays_on_kernel_by_default(spark):
     eng = _engine(BUFFERED_RULES[0])
     from spinix_spark.engine.sql_compile import try_compile_rule_sql
