@@ -273,8 +273,12 @@ def _cached_signatures(spark: SparkSession, sf_dir: str, view: str = "mh_sig"):
     """Minhash signatures, computed + cached ONCE per session/sf —
     Spark inlines (re-computes) CTEs per reference, so the LSH
     self-join and the downstream verify queries would otherwise
-    evaluate the shingle pipeline repeatedly."""
-    return _cached_df(spark, sf_dir, "sig", Q_MINHASH_SPARK, view)
+    evaluate the shingle pipeline repeatedly. Built FROM the cached
+    shingle stream, so the signature and exact-Jaccard queries share
+    one shingle materialization."""
+    _cached_shingles(spark, sf_dir)
+    sig_sql = _minhash_sql_wide("SELECT doc_id, sh FROM mh_shingles", _SPARK_X)
+    return _cached_df(spark, sf_dir, "sig", sig_sql, view)
 
 
 def _cached_shingles(spark: SparkSession, sf_dir: str, view: str = "mh_shingles"):
