@@ -22,6 +22,7 @@ from spinix_spark.queries_analytics import ANALYTICS_QUERIES
 from spinix_spark.queries_ann import ANN_QUERIES
 from spinix_spark.queries_detect import DETECT_QUERIES
 from spinix_spark.queries_geo import GEO_QUERIES
+from spinix_spark.queries_media import MEDIA_QUERIES
 from spinix_spark.queries_relational import RELATIONAL_QUERIES
 from spinix_spark.queries_text import TEXT_QUERIES
 
@@ -32,6 +33,7 @@ _ALL.update(ANN_QUERIES)
 _ALL.update(DETECT_QUERIES)
 _ALL.update(ANALYTICS_QUERIES)
 _ALL.update(RELATIONAL_QUERIES)
+_ALL.update(MEDIA_QUERIES)
 
 
 def entry(spark: SparkSession) -> DataFrame:
