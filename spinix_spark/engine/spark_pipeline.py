@@ -288,6 +288,7 @@ def detect_batch_spark(
     prefer_sql: bool = True,
     devices_df: DataFrame | None = None,
     at_salt: int = 0,
+    state_df: DataFrame | None = None,
 ) -> DataFrame:
     """Evaluate every registered rule over a points DataFrame.
 
@@ -355,6 +356,17 @@ def detect_batch_spark(
         *[c for c in points.columns if c in KERNEL_COLS]
     )
     if any(r.spec.is_stateful for r in kernel_rules):
+        if state_df is not None:
+            # FACT-SCALE state carry: prior (device, rule) states ride
+            # the shuffle as a per-device struct array joined onto the
+            # rows — no broadcast, no driver round-trip; the join and
+            # the repartition below share the device_id partitioning
+            sdf = state_df.groupBy("device_id").agg(
+                F.collect_list(
+                    F.struct("rule_id", "last_seen", "last_reset", "hits", "now")
+                ).alias("_states")
+            )
+            pruned = pruned.join(sdf, "device_id", "left")
         # one owner task per device + deterministic per-device event
         # order: trigger state folds sequentially over (device_id,
         # datetime) regardless of Arrow batch boundaries or partition
@@ -371,6 +383,26 @@ def detect_batch_spark(
         for pdf in batches:
             if pdf.empty:
                 continue
+            if "_states" in pdf.columns:
+                # distributed state carry: seed prior states attached
+                # to this batch's rows (first sighting wins — later
+                # Arrow batches must not clobber in-task mutations)
+                seed: list[dict] = []
+                for did, st_list in zip(pdf["device_id"], pdf["_states"]):
+                    if st_list is None or len(st_list) == 0:
+                        continue
+                    for st in st_list:
+                        seed.append(
+                            {
+                                "device_id": str(did),
+                                "rule_id": str(st["rule_id"]),
+                                "last_seen": int(st["last_seen"]),
+                                "last_reset": int(st["last_reset"]),
+                                "hits": int(st["hits"]),
+                                "now": int(st["now"]),
+                            }
+                        )
+                states.load_if_absent(seed)
             out_frames: list[pd.DataFrame] = []
             lat = pdf["lat"].to_numpy(dtype=np.float64)
             lon = pdf["lon"].to_numpy(dtype=np.float64)
@@ -467,6 +499,24 @@ def detect_batch_spark(
     for o in sql_outs:
         out = out.unionAll(o)
     return out
+
+
+def merge_state_df(prior: DataFrame, updated: DataFrame) -> DataFrame:
+    """DataFrame form of :func:`merge_state_rows` — next-batch state =
+    prior overlaid with this batch's dirty emissions, updated wins per
+    (device_id, rule_id). One shuffle; nothing touches the driver."""
+    from pyspark.sql.window import Window
+
+    cols = ["device_id", "rule_id", "last_seen", "last_reset", "hits", "now"]
+    allr = prior.select(*cols).withColumn("_prio", F.lit(0)).unionByName(
+        updated.select(*cols).withColumn("_prio", F.lit(1))
+    )
+    w = Window.partitionBy("device_id", "rule_id").orderBy(F.col("_prio").desc())
+    return (
+        allr.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_prio")
+    )
 
 
 def merge_state_rows(prior: list[dict], updated: list[dict]) -> list[dict]:

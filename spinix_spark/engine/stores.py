@@ -400,3 +400,13 @@ class StateStore:
         """Seed prior-batch states; loading does NOT mark dirty."""
         for r in rows:
             self._states[(r["device_id"], r["rule_id"])] = dict(r)
+
+    def load_if_absent(self, rows: list[dict]) -> None:
+        """Seed prior states without clobbering keys this task already
+        created or mutated (used by the distributed state-join path,
+        where a device's prior states arrive attached to its rows and
+        may be seen again on later Arrow batches)."""
+        for r in rows:
+            key = (r["device_id"], r["rule_id"])
+            if key not in self._states:
+                self._states[key] = dict(r)

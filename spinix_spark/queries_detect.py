@@ -104,17 +104,16 @@ _WIDE_PROPS = ":center 42.935 -72.27 :radius 50km"
 
 def _run_two_batches(spark: SparkSession, sf_dir: str, rule: str) -> DataFrame:
     """Run the SAME points through the stateful pipeline twice,
-    carrying per-(device, rule) state between the batches; return
-    (batch, device_slot, n_events)."""
-    from spinix_spark.engine.spark_pipeline import merge_state_rows
-
+    carrying per-(device, rule) state between the batches AS A
+    DATAFRAME (co-partitioned state join — no state ever collects to
+    the driver); return (batch, device_slot, n_events)."""
     engine = _engine()
     engine.add_rule(rule, rule_id="r" + "1" * 19)
     pts = _points_as_devices(spark, sf_dir)
     ev1, st1 = split_output(detect_batch_spark(pts, engine))
+    st1 = st1.cache()
     c1 = _event_counts(ev1, 1)
-    state_rows = merge_state_rows([], [r.asDict() for r in st1.collect()])
-    ev2, _ = split_output(detect_batch_spark(pts, engine, state_rows=state_rows))
+    ev2, _ = split_output(detect_batch_spark(pts, engine, state_df=st1))
     c2 = _event_counts(ev2, 2)
     return c1.unionAll(c2).orderBy("batch", "device_slot")
 

@@ -228,6 +228,69 @@ def test_stateful_state_rows_multipartition(spark):
         assert by_key[(r["device_id"], r["rule_id"])]["hits"] == r["hits"]
 
 
+def test_state_df_path_equals_list_path(spark):
+    """The fact-scale DataFrame state carry (co-partitioned join, no
+    driver round-trip) must reproduce the broadcast-list path exactly:
+    same batch-2 events, same merged state values."""
+    from spinix_spark.engine.spark_pipeline import (
+        merge_state_df,
+        merge_state_rows,
+    )
+
+    rule = (
+        "status eq 1 { :center 42.92 -72.27 :radius 5km"
+        " :trigger 3 times interval 0s }"
+    )
+    n = 60
+    pdf = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(n)],
+            "device_id": [f"d{i % 6:019d}" for i in range(n)],
+            "layer_id": ["0" * 20] * n,
+            "lat": [42.92] * n,
+            "lon": [-72.27] * n,
+            "datetime": [1000 + i for i in range(n)],
+            "speed": [0.0] * n,
+            "status": [1] * n,
+        }
+    )
+    points = spark.createDataFrame(pdf).repartition(5)
+
+    def canon_ev(ev):
+        return sorted((r.url, r.device_id) for r in ev.collect())
+
+    def canon_st(rows):
+        return sorted(
+            (r["device_id"], r["rule_id"], r["last_seen"], r["last_reset"], r["hits"])
+            for r in rows
+        )
+
+    # list path
+    eng_a = Engine()
+    eng_a.add_rule(rule, rule_id="r" + "6" * 19)
+    ev1a, st1a = split_output(detect_batch_spark(points, eng_a))
+    rows1a = [r.asDict() for r in st1a.collect()]
+    prior_a = merge_state_rows([], rows1a)
+    ev2a, st2a = split_output(
+        detect_batch_spark(points, eng_a, state_rows=prior_a)
+    )
+    merged_a = merge_state_rows(prior_a, [r.asDict() for r in st2a.collect()])
+
+    # DataFrame path
+    eng_b = Engine()
+    eng_b.add_rule(rule, rule_id="r" + "6" * 19)
+    ev1b, st1b = split_output(detect_batch_spark(points, eng_b))
+    st1b = st1b.cache()
+    ev2b, st2b = split_output(detect_batch_spark(points, eng_b, state_df=st1b))
+    merged_b = merge_state_df(st1b, st2b)
+
+    assert canon_ev(ev1a) == canon_ev(ev1b)
+    assert canon_ev(ev2a) == canon_ev(ev2b)
+    assert len(canon_ev(ev1a)) == 6 * 3  # 3 fires per device, batch 1
+    assert len(canon_ev(ev2a)) == 0  # quota exhausted
+    assert canon_st(merged_a) == canon_st([r.asDict() for r in merged_b.collect()])
+
+
 def test_device_near_device_via_snapshot(spark, pages):
     points = geoparse_points(pages)
     snap = snapshot_from_points(points)
