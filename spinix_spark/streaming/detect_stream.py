@@ -101,26 +101,23 @@ def stream_detect_scalable(
     strategy (engine/devices_at.py) against that snapshot DataFrame;
     zones/rules stay broadcast (dimension-sized).
 
-    Trigger state is NOT handled here — rules with a ``:trigger`` use
-    keyed_detect.keyed_stream_detect, where per-(device, rule) state
-    lives in Spark's state store. Mixing both: run the stateless/@
-    rules through this stream and the stateful ones through the keyed
-    stream.
+    Trigger state rides the same mechanism: per-(device, rule) trigger
+    states live in a second versioned parquet table and join the
+    shuffle co-partitioned with their rows
+    (detect_batch_spark(state_df=...)) — dirty emissions merge back
+    with one shuffle (merge_state_df). The keyed
+    applyInPandasWithState form (keyed_detect) remains for
+    low-latency per-key streaming.
     """
     from spinix_spark.engine.devices_at import snapshot_df_from_points
-
-    if any(r.spec.props.repeat != 0 for r in engine.rules.values()):
-        raise ValueError(
-            "stream_detect_scalable handles stateless rules only; route "
-            ":trigger rules through keyed_stream_detect (state-store keyed)"
-        )
+    from spinix_spark.engine.spark_pipeline import merge_state_df
 
     snap_cols = ["device_id", "layer_id", "lat", "lon", "datetime"]
 
-    def _latest_version(spark) -> tuple[int, DataFrame | None]:
+    def _latest_version(spark, table: str) -> tuple[int, DataFrame | None]:
         import os
 
-        base = os.path.join(work_dir, "snapshot")
+        base = os.path.join(work_dir, table)
         if not os.path.isdir(base):
             return -1, None
         versions = sorted(
@@ -135,7 +132,8 @@ def stream_detect_scalable(
         import os
 
         spark = batch_df.sparkSession
-        _v, snap = _latest_version(spark)
+        _v, snap = _latest_version(spark, "snapshot")
+        _sv, state = _latest_version(spark, "state")
         out = detect_batch_spark(
             batch_df,
             engine,
@@ -143,9 +141,15 @@ def stream_detect_scalable(
             if snap is not None
             else spark.createDataFrame([], "device_id string, layer_id string, lat double, lon double"),
             at_salt=at_salt,
-        )
-        events, _ = split_output(out)
+            state_df=state,
+        ).cache()  # one pipeline run feeds both the sink and the state table
+        events, states = split_output(out)
         sink(events, batch_id)
+        new_state = states if state is None else merge_state_df(state, states)
+        new_state.write.mode("overwrite").parquet(
+            os.path.join(work_dir, "state", f"v{batch_id}")
+        )
+        out.unpersist()
         have = [c for c in snap_cols if c in batch_df.columns]
         merged = batch_df.select(*have)
         if snap is not None:

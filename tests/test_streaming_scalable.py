@@ -82,3 +82,43 @@ def test_stream_detect_scalable_at_rule(spark, tmp_path):
     snap = spark.read.parquet(str(tmp_path / "work" / "snapshot" / "v1"))
     latest = {r.device_id: r.lat for r in snap.collect()}
     assert latest[d[1]] == 42.9600  # batch-1 position won
+
+
+def test_stream_detect_scalable_trigger_state(spark, tmp_path):
+    """Trigger state persists across micro-batches through the
+    versioned parquet state table: a :trigger once attribute rule
+    fires once per device in batch 0 and is fully suppressed in
+    batch 1 — with no state ever collecting to the driver."""
+    b0 = _batch(0, [42.93] * 4, [-72.27] * 4)
+    b1 = _batch(1, [42.93] * 4, [-72.27] * 4)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b0).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    engine = Engine()
+    engine.add_rule(
+        "status eq 1 { :center 42.93 -72.27 :radius 5km :trigger once }",
+        rule_id="r" + "1" * 19,
+    )
+    got: dict[int, int] = {}
+
+    def sink(events, batch_id):
+        got[batch_id] = events.count()
+
+    q = stream_detect_scalable(
+        stream,
+        engine,
+        sink,
+        work_dir=str(tmp_path / "work"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    assert got[0] == 4  # once per device
+    assert got[1] == 0  # carried state suppresses the replay
+    st = spark.read.parquet(str(tmp_path / "work" / "state" / "v1"))
+    rows = {(r.device_id, r.rule_id): r.hits for r in st.collect()}
+    assert len(rows) == 4 and all(h == 1 for h in rows.values())
