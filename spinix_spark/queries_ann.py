@@ -163,9 +163,83 @@ Q_NEARDUP_FULL_SPARK = _neardup_sql(True, None)
 Q_NEARDUP_FULL_DUCK = _neardup_sql(False, None)
 
 
+# --- IVF-flat: fixed coarse centroids, probe-based search -----------------
+# The scale path the LSH bucket doesn't cover: a coarse quantizer
+# partitions the corpus into NLIST cells (the shuffle/storage
+# partition key at 100 TB); a query scans only its NPROBE nearest
+# cells. Centroids are FIXED deterministic vectors (same family as the
+# query vector, different phases) — "training" a quantizer is an
+# offline job out of scope; the partition/probe mechanics are what
+# must be correct and are verified value-exact against DuckDB.
+
+NLIST = 16
+NPROBE = 2
+
+
+def _centroid(k: int) -> list[float]:
+    return [(((i + 3 * k + 1) * 53) % 17 - 8) / 8.0 for i in range(DIM)]
+
+
+CENTROIDS = [_centroid(k) for k in range(NLIST)]
+
+
+def _dot_py(a: list[float], b: list[float]) -> float:
+    # left fold in array order — same IEEE sequence as the SQL forms
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _ivf_dots(spark_side: bool, vec_col: str) -> str:
+    mk = _spark_dot if spark_side else _duck_dot
+    arr = _spark_arr if spark_side else _duck_arr
+    dots = ", ".join(mk(vec_col, arr(c)) for c in CENTROIDS)
+    return ("array(" if spark_side else "[") + dots + (")" if spark_side else "]")
+
+
+def _ivf_cell(spark_side: bool, vec_col: str) -> str:
+    """argmax centroid with FIRST-max tie-break: position of the max
+    dot in array order (both engines return the first occurrence)."""
+    dots = _ivf_dots(spark_side, vec_col)
+    if spark_side:
+        return f"array_position({dots}, array_max({dots}))"
+    return f"list_position({dots}, list_max({dots}))"
+
+
+# the query vector's probe cells, computed with the same fold in Python
+_QDOTS = [_dot_py(QVEC, c) for c in CENTROIDS]
+PROBE_CELLS = [
+    i + 1 for i, _ in sorted(enumerate(_QDOTS), key=lambda t: (-t[1], t[0]))[:NPROBE]
+]
+
+Q_IVF_ASSIGN_SPARK = (
+    f"SELECT vec_id, CAST({_ivf_cell(True, 'embedding')} AS BIGINT) AS ivf_cell "
+    "FROM embeddings"
+)
+Q_IVF_ASSIGN_DUCK = (
+    f"SELECT vec_id, CAST({_ivf_cell(False, 'embedding')} AS BIGINT) AS ivf_cell "
+    "FROM embeddings"
+)
+
+_PROBE_LIST = ", ".join(str(c) for c in PROBE_CELLS)
+Q_IVF_TOPK_SPARK = (
+    f"SELECT vec_id, ROUND({_cos_spark('embedding')}, 8) AS cos_sim FROM embeddings "
+    f"WHERE CAST({_ivf_cell(True, 'embedding')} AS BIGINT) IN ({_PROBE_LIST}) "
+    f"ORDER BY {_cos_spark('embedding')} DESC, vec_id LIMIT {TOPK}"
+)
+Q_IVF_TOPK_DUCK = (
+    f"SELECT vec_id, ROUND({_cos_duck('embedding')}, 8) AS cos_sim FROM embeddings "
+    f"WHERE CAST({_ivf_cell(False, 'embedding')} AS BIGINT) IN ({_PROBE_LIST}) "
+    f"ORDER BY {_cos_duck('embedding')} DESC, vec_id LIMIT {TOPK}"
+)
+
+
 ANN_QUERIES: dict[str, tuple] = {
     "ann_brute_topk": _mk(Q_TOPK_SPARK, Q_TOPK_DUCK),
     "ann_lsh_bucket": _mk(Q_LSH_SPARK, Q_LSH_DUCK),
+    "ann_ivf_assign": _mk(Q_IVF_ASSIGN_SPARK, Q_IVF_ASSIGN_DUCK),
+    "ann_ivf_topk": _mk(Q_IVF_TOPK_SPARK, Q_IVF_TOPK_DUCK),
     "embed_neardup_pairs": _mk(Q_NEARDUP_SPARK, Q_NEARDUP_DUCK),
     "embed_neardup_full": _mk(Q_NEARDUP_FULL_SPARK, Q_NEARDUP_FULL_DUCK),
 }
