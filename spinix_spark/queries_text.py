@@ -353,6 +353,76 @@ Q_JACCARD_LSH_DUCK = _jaccard_verify_sql(
 )
 
 
+def spark_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation: connected components over the LSH
+    candidate graph by iterative min-label propagation — the classic
+    alternating-join CC (each iteration is one shuffle on the edge
+    key; label count shrinks monotonically, so convergence is bounded
+    by the component diameter, not the corpus size). Returns
+    (doc_id, cluster_id = min doc id reachable)."""
+    from pyspark.sql import functions as F
+
+    _cached_signatures(spark, sf_dir)
+    # localCheckpoint instead of .cache(): caching the CTE plan trips a
+    # Spark 4.x InlineCTE re-resolution bug, and the checkpoint also
+    # truncates lineage for the iteration below
+    edges = spark.sql(_lsh_pairs_from_salted("mh_sig"))
+    und = (
+        edges.selectExpr("a_id AS u", "b_id AS v")
+        .unionAll(edges.selectExpr("b_id AS u", "a_id AS v"))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):  # ≥ max component diameter at any realistic scale
+        neigh = (
+            und.join(labels, und.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            # truncate the lineage per iteration — iterative plans grow
+            # exponentially otherwise
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+def _dedup_clusters_oracle() -> str:
+    pairs = _lsh_pairs_sql(Q_MINHASH_DUCK)
+    return (
+        f"WITH RECURSIVE pairs AS ({pairs}), "
+        "und AS (SELECT a_id AS u, b_id AS v FROM pairs "
+        "UNION ALL SELECT b_id, a_id FROM pairs), "
+        "reach(u, v) AS (SELECT u, v FROM und "
+        "UNION SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u) "
+        "SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id "
+        "FROM reach GROUP BY u ORDER BY doc_id"
+    )
+
+
 def _unigrams(spark_side: bool, extra: str = "") -> str:
     if spark_side:
         return (
@@ -398,6 +468,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "lang_id": _shared(Q_LANG_ID),
     "ngram_jaccard_pairs": _split(Q_JACCARD_SPARK, Q_JACCARD_DUCK),
     "ngram_jaccard_lsh": (spark_jaccard_lsh, Q_JACCARD_LSH_DUCK),
+    "dedup_clusters": (spark_dedup_clusters, _dedup_clusters_oracle()),
     "minhash_signatures": _split(Q_MINHASH_SPARK, Q_MINHASH_DUCK),
     "minhash_lsh_pairs": (spark_lsh_pairs, Q_LSH_DUCK),
     "simhash": _split(Q_SIMHASH_SPARK, Q_SIMHASH_DUCK),
