@@ -51,6 +51,22 @@ Q_TOKEN_TOPK_DUCK = (
     f"ORDER BY n DESC, tok LIMIT {TOPK}"
 )
 
+# the preprocessing funnel: per-stage survivor counts for the standard
+# training-data pipeline (dedup -> quality -> language) — one scan,
+# conditional aggregation, no shuffle beyond the final fold
+Q_FUNNEL = (
+    "SELECT COUNT(*) AS n_total, "
+    "CAST(SUM(CASE WHEN keep_dedup THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup, "
+    "CAST(SUM(CASE WHEN keep_dedup AND keep_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality, "
+    "CAST(SUM(CASE WHEN keep_dedup AND keep_quality AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_after_lang "
+    "FROM ("
+    "SELECT lang, "
+    "doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_dedup, "
+    "((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) + 1) >= 20 "
+    "AND ((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) + 1) <= 1000 AS keep_quality "
+    "FROM documents) f"
+)
+
 # per-(source, lang) corpus rollup
 Q_CORPUS_ROLLUP = (
     "SELECT source, lang, COUNT(*) AS n_docs, "
@@ -75,4 +91,5 @@ MEDIA_QUERIES: dict[str, tuple] = {
         Q_TOKEN_TOPK_DUCK,
     ),
     "corpus_rollup": _shared(Q_CORPUS_ROLLUP),
+    "corpus_filter_funnel": _shared(Q_FUNNEL),
 }

@@ -109,8 +109,25 @@ def stream_detect_scalable(
     applyInPandasWithState form (keyed_detect) remains for
     low-latency per-key streaming.
     """
+    from spinix_spark.dsl.compiler import SpDevicesOp
     from spinix_spark.engine.devices_at import snapshot_df_from_points
     from spinix_spark.engine.spark_pipeline import merge_state_df
+
+    # a rule that is BOTH stateful and devices(@) can't use the
+    # pair-join strategy (trigger state needs the sequential kernel
+    # fold) and the kernel's @ loop would silently see an EMPTY
+    # broadcast snapshot here — reject loudly instead
+    for r in engine.rules.values():
+        has_at = any(
+            isinstance(n, SpDevicesOp) and n.right.all for n in r.spec.nodes
+        )
+        if has_at and r.spec.props.repeat != 0:
+            raise ValueError(
+                f"rule {r.rule_id}: stateful devices(@) rules are not "
+                "supported by stream_detect_scalable (the trigger fold "
+                "needs the kernel path, whose snapshot would be empty "
+                "here); split the rule or use the micro-batch demo form"
+            )
 
     snap_cols = ["device_id", "layer_id", "lat", "lon", "datetime"]
 
