@@ -129,6 +129,31 @@ HEADLINE_QUERIES = [
 ]
 
 
+def run_devices_at_pages(spark, n_pages: int) -> dict:
+    """Fact-scale devices(@) over the pages pipeline: geoparse points,
+    latest-per-device snapshot as a DataFrame (no collect), pair-join
+    strategy with per-row k-ring cover — the 100 TB shape of the
+    reference's Devices.Near hot path."""
+    from spinix_spark.engine.detect import Engine
+    from spinix_spark.engine.devices_at import snapshot_df_from_points
+    from spinix_spark.engine.spark_pipeline import detect_batch_spark, split_output
+    from spinix_spark.io.geoparse import geoparse_points
+    from spinix_spark.io.pages import BASE_LAT, BASE_LON, synthesize_pages
+
+    points = geoparse_points(synthesize_pages(spark, n_pages))
+    snap = snapshot_df_from_points(points)
+    engine = Engine()
+    engine.add_rule(
+        "device :radius 250m intersects devices(@)"
+        f" {{ :center {BASE_LAT} {BASE_LON} :radius 100km }}",
+        rule_id="r" + "3" * 19,
+    )
+    events, _ = split_output(
+        detect_batch_spark(points, engine, devices_df=snap, at_salt=8)
+    )
+    return {"n_at_events": int(events.count())}
+
+
 def run_hot_cell_pairs(spark, n_pages: int) -> dict:
     """Hot-cell radius self-join: the synthetic pages put ~10% of all
     points into ONE grid cell; the two-level salted pair join
@@ -184,6 +209,11 @@ def main() -> None:
     t0 = time.time()
     pipe_stats.update(run_hot_cell_pairs(spark, max(n_pages // 10, 10_000)))
     queries["hot_cell_pairs"] = round(time.time() - t0, 3)
+
+    # fact-scale devices(@): full pages pipeline + DataFrame snapshot
+    t0 = time.time()
+    pipe_stats.update(run_devices_at_pages(spark, max(n_pages // 10, 10_000)))
+    queries["devices_at_pages"] = round(time.time() - t0, 3)
 
     total = round(sum(queries.values()), 3)
     out = {
