@@ -98,14 +98,27 @@ def run_geo_pipeline(spark, n_pages: int) -> dict:
         rule_id="r" + "1" * 19,
     )
 
+    n_points = points.count()  # materialize the persist: isolates detect
+
+    t0 = time.time()
     events, _ = split_output(detect_batch_spark(points, engine))
     n_events = events.count()
+    t_detect = time.time() - t0
 
     from spinix_spark.engine.tiles import point_density_raster
 
     raster_rows = point_density_raster(points).count()
     points.unpersist()
-    return {"n_events": int(n_events), "n_tiles": int(raster_rows)}
+    return {
+        "n_events": int(n_events),
+        "n_tiles": int(raster_rows),
+        "n_points": int(n_points),
+        "detect_s": round(t_detect, 3),
+        # the BASELINE metric's "rule-eval rows/sec": points evaluated
+        # through the full rule registry per second (detect stage only,
+        # input materialized beforehand)
+        "rule_eval_rows_per_sec": round(n_points / max(t_detect, 1e-9), 1),
+    }
 
 
 HEADLINE_QUERIES = [
@@ -224,6 +237,7 @@ def main() -> None:
         "sf": sf,
         "n_pages": n_pages,
         "pages_per_sec": round(n_pages / t_pipe, 1),
+        "rule_eval_rows_per_sec": pipe_stats.get("rule_eval_rows_per_sec"),
         "stats": pipe_stats,
     }
     print(json.dumps(out))
