@@ -188,6 +188,40 @@ def test_at_join_wide_lon_coverage(spark):
     assert a == b
 
 
+def test_at_join_random_worlds(spark):
+    """Randomized cross-strategy fuzz: random verbs, buffers, radii,
+    point sets and snapshots — the pair join must equal the broadcast
+    kernel on every world."""
+    rng = np.random.default_rng(123)
+    verbs = ["intersects", "near", "in", "nintersects", "nin"]
+    for seed in (31, 57, 88):
+        n = int(rng.integers(40, 90))
+        pdf = _mk_points(spark, n=n, seed=seed)
+        snap_rows = _mk_snapshot(rng_seed=seed + 1, m=int(rng.integers(10, 30)))
+        verb = verbs[int(rng.integers(0, len(verbs)))]
+        radius = int(rng.integers(100, 900))
+        buf = f":radius {radius}m " if rng.integers(0, 2) else ""
+        rule = (
+            f"device {buf}{verb} devices(@)"
+            " { :center 42.93 -72.27 :radius 50km }"
+        )
+        points = spark.createDataFrame(pdf).repartition(4)
+        eng = Engine()
+        for row in snap_rows:
+            eng.devices.insert_or_replace(row)
+        eng.add_rule(rule, rule_id="r" + "7" * 19)
+        ev_kernel, _ = split_output(detect_batch_spark(points, eng))
+
+        eng_j = Engine()
+        eng_j.add_rule(rule, rule_id="r" + "7" * 19)
+        devices_df = spark.createDataFrame(pd.DataFrame(snap_rows))
+        ev_join, _ = split_output(
+            detect_batch_spark(points, eng_j, devices_df=devices_df)
+        )
+        a, b = _events_canon(ev_kernel), _events_canon(ev_join)
+        assert a == b, f"seed={seed} rule={rule}: kernel={len(a)} join={len(b)}"
+
+
 def test_snapshot_df_no_collect(spark):
     """snapshot_df_from_points is pure DataFrame ops (window + filter);
     its physical plan contains no driver-side collect and one shuffle
