@@ -182,3 +182,55 @@ try:  # pragma: no cover - h3 not installed in this environment
 except ImportError:  # the offline default — GridScheme everywhere
     H3Scheme = None
     HAVE_H3 = False
+
+
+try:  # pragma: no cover - s2sphere not installed in this environment
+    import s2sphere as _s2
+
+    class S2Scheme:
+        """GridScheme interface over S2 cell tokens (north_star's
+        second index family). Covering = RegionCoverer at a fixed
+        level; k-ring = the cell's edge+vertex neighbors, applied k
+        times (superset of the disc, no false negatives)."""
+
+        def __init__(self, level: int = 14) -> None:
+            self.level = level
+
+        def cell_of(self, lat, lon):
+            import numpy as np
+
+            lat = np.atleast_1d(np.asarray(lat, dtype=float))
+            lon = np.atleast_1d(np.asarray(lon, dtype=float))
+            return np.array(
+                [
+                    _s2.CellId.from_lat_lng(
+                        _s2.LatLng.from_degrees(a, o)
+                    ).parent(self.level).id()
+                    for a, o in zip(lat, lon)
+                ],
+                dtype=np.int64,
+            )
+
+        def cover_bbox(self, minlat, minlon, maxlat, maxlon):
+            rc = _s2.RegionCoverer()
+            rc.min_level = rc.max_level = self.level
+            rect = _s2.LatLngRect(
+                _s2.LatLng.from_degrees(minlat, minlon),
+                _s2.LatLng.from_degrees(maxlat, maxlon),
+            )
+            return [c.id() for c in rc.get_covering(rect)]
+
+        def kring(self, cell, k=1):
+            cells = {int(cell)}
+            for _ in range(k):
+                nxt = set(cells)
+                for c in cells:
+                    cid = _s2.CellId(c)
+                    nxt.update(n.id() for n in cid.get_all_neighbors(self.level))
+                cells = nxt
+            return sorted(cells)
+
+    HAVE_S2 = True
+except ImportError:
+    S2Scheme = None
+    HAVE_S2 = False
