@@ -120,26 +120,31 @@ def make_keyed_detect_fn(payload_broadcast):
                 ref = Reference(
                     zones=zones, devices=DeviceSnapshot(), states=states
                 )
-                # sequential per-update evaluation (event-time order)
-                for i in range(len(sub)):
-                    row = sub.iloc[[i]].reset_index(drop=True)
-                    ok, matches = eval_spec(spec, row, ref, rule_id)
-                    if bool(ok[0]):
-                        for m in matches[0]:
-                            out_frames.append(
-                                {
-                                    "device_id": device_id,
-                                    "url": str(row.at[0, "url"])
-                                    if "url" in row
-                                    else "",
-                                    "rule_id": rule_id,
-                                    "left_kw": m["left_kw"],
-                                    "right_kw": m["right_kw"],
-                                    "op": m["op"],
-                                    "right_refs": m["right_refs"],
-                                    "datetime": int(row.at[0, "datetime"]),
-                                }
-                            )
+                # ONE vectorized evaluation: node predicates run as
+                # NumPy over the whole sorted batch while the trigger
+                # fold inside eval_spec_full is sequential per row in
+                # this (event-time) order — identical to per-update
+                # evaluation, without the per-row Python loop
+                ok, matches = eval_spec(spec, sub, ref, rule_id)
+                urls = (
+                    sub["url"].astype(str)
+                    if "url" in sub
+                    else pd.Series([""] * len(sub))
+                )
+                for i in np.nonzero(ok)[0]:
+                    for m in matches[i]:
+                        out_frames.append(
+                            {
+                                "device_id": device_id,
+                                "url": urls.iloc[i],
+                                "rule_id": rule_id,
+                                "left_kw": m["left_kw"],
+                                "right_kw": m["right_kw"],
+                                "op": m["op"],
+                                "right_refs": m["right_refs"],
+                                "datetime": int(sub.at[i, "datetime"]),
+                            }
+                        )
                 if spec.is_stateful:
                     st = states.lookup_or_make(device_id, rule_id)
                     last_seen[k] = int(st["last_seen"])
