@@ -225,6 +225,21 @@ def detect_equal_devices(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def detect_weekday_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op #9 equalStrOp's datetime-string view: ``day eq "Wednesday"``
+    (weekday name rendering, runtime.go:2206-2212). The derived
+    datetimes straddle the Tue/Wed boundary (2023-11-14T22:13Z +24 h),
+    so the predicate genuinely discriminates. Catalyst-compiled
+    (date_format EEEE, UTC)."""
+    engine = _engine()
+    engine.add_rule(
+        'day eq "Wednesday" { :center 42.935 -72.27 :radius 50km }',
+        rule_id="r" + "8" * 19,
+    )
+    ev, _ = split_output(detect_batch_spark(_points_as_devices(spark, sf_dir), engine))
+    return _doc_ids(ev)
+
+
 def detect_devices_object(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op #4 spDevicesObjectOp: ``devices(list) INTERSECTS
     polygon(pentagon)`` — zone containment membership-gated to an
@@ -407,6 +422,11 @@ def _equal_devices_oracle() -> str:
     )
 
 
+DETECT_WEEKDAY_ORACLE = (
+    f"SELECT doc_id FROM ({_PSEL}) p "
+    "WHERE dayname(to_timestamp(datetime)) = 'Wednesday' ORDER BY doc_id"
+)
+
 # 2023-11-14T23:00:00Z .. 2023-11-15T08:00:00Z, boundary-inclusive
 DETECT_RANGE_DT_ORACLE = (
     f"SELECT doc_id FROM ({_PSEL}) p "
@@ -423,4 +443,5 @@ DETECT_QUERIES: dict[str, tuple] = {
     "detect_equal_devices": (detect_equal_devices, _equal_devices_oracle()),
     "detect_devices_object": (detect_devices_object, _devices_object_oracle()),
     "detect_range_datetime": (detect_range_datetime, DETECT_RANGE_DT_ORACLE),
+    "detect_weekday_eq": (detect_weekday_eq, DETECT_WEEKDAY_ORACLE),
 }
