@@ -68,16 +68,21 @@ def at_search_meters(node: SpDevicesOp) -> float:
     return MIN_DIST_METERS if meters <= 0 else normalize_distance(meters, TINY_REGION_SIZE)
 
 
-def devices_at_node(rule) -> SpDevicesOp | None:
+def devices_at_node(rule, allow_stateful: bool = False) -> SpDevicesOp | None:
     """The rule's single devices(@) node if the rule fits this
-    strategy's shape, else None."""
+    strategy's shape, else None.
+
+    ``allow_stateful=True`` admits rules with a real ``:trigger`` —
+    their events still come from the same pair-join candidates, gated
+    afterwards by the sequential per-device trigger fold
+    (spark_pipeline._at_rule_events_stateful)."""
     from spinix_spark.dsl import ast_nodes as ast
 
     spec = rule.spec
     # any {...} props block marks the spec stateful (reference parity),
     # but without a :trigger the gate is constant-true and state rows
-    # never influence events — only a real trigger needs the keyed path
-    if spec.props.repeat != ast.REPEAT_NONE:
+    # never influence events — only a real trigger needs the keyed fold
+    if not allow_stateful and spec.props.repeat != ast.REPEAT_NONE:
         return None
     if any(op is not Token.AND for op in spec.ops):
         return None
@@ -94,6 +99,50 @@ def devices_at_node(rule) -> SpDevicesOp | None:
     if node.right.kind in (Token.RADIUS, Token.BBOX):
         return None
     return node
+
+
+def at_ineligible_reasons(engine, columns) -> list[str]:
+    """Why each registered devices(@) rule would FAIL the pair-join
+    strategy and fall back to the broadcast-kernel path — one reason
+    string per ineligible rule, empty when every @ rule is pair-join
+    eligible.
+
+    The kernel fallback evaluates @ against the broadcast snapshot
+    (engine.devices); at fact scale that snapshot is empty and @ would
+    silently evaluate false everywhere, so callers that supply the
+    snapshot as a DataFrame (detect_batch_spark(devices_df=...),
+    stream_detect_scalable) use this probe to refuse loudly instead.
+    ``columns`` is the points schema the companion nodes must compile
+    against (e.g. ``points_df.columns``)."""
+    from spinix_spark.engine.sql_compile import compile_node_sql
+
+    cols = set(columns)
+    reasons = []
+    for r in engine.rules.values():
+        has_at = any(
+            isinstance(n, SpDevicesOp) and n.right.all and not n.right.refs
+            for n in r.spec.nodes
+        )
+        if not has_at:
+            continue
+        node = devices_at_node(r, allow_stateful=True)
+        if node is None:
+            reasons.append(
+                f"rule {r.rule_id}: devices(@) outside the pair-join shape "
+                "(needs an all-AND fold with exactly one @ node)"
+            )
+            continue
+        for n in r.spec.nodes:
+            if n is node:
+                continue
+            if compile_node_sql(n, engine, r.spec.props, cols) is None:
+                reasons.append(
+                    f"rule {r.rule_id}: companion node {type(n).__name__} is "
+                    "not Catalyst-compilable against the points schema "
+                    f"{sorted(cols)}"
+                )
+                break
+    return reasons
 
 
 _PAIR_SCHEMA = StructType(

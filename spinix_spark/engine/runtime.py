@@ -923,9 +923,10 @@ def eval_node(node, batch: DeviceBatch, ref: Reference, layer: str) -> NodeResul
             op=node.op,
         )
     if isinstance(node, EqualStrOp):
-        vals = str_val(batch, node.keyword)
-        cmp = _CMP[node.op]
-        ok = np.array([bool(cmp(v, node.value)) for v in vals])
+        # NumPy unicode arrays compare lexicographically by code point,
+        # identical to Python str comparison — vectorized, no per-row loop
+        vals = np.asarray(str_val(batch, node.keyword), dtype="U")
+        ok = np.asarray(_CMP[node.op](vals, node.value), dtype=bool)
         return NodeResult(ok=ok, left_kw=node.keyword, right_kw=Token.STRING, op=node.op)
     if isinstance(node, EqualTimeOp):
         bound = _day_anchor(batch, node.hour, node.minute)

@@ -101,12 +101,22 @@ def _rule_prune_expr_for(engine: Engine, rule) -> str:
     boundary into the Python refinement stage. Negated verbs
     (NINTERSECTS/NIN/NNEAR) match on far-away rows by design
     (SURVEY.md §2A.1) so rules containing only those keep the wide
-    bbox."""
+    bbox.
+
+    Rules with a REAL trigger never tighten: the trigger state
+    advances on every in-bbox layer-matching row regardless of node
+    outcomes (checkTrigger/changeState run BEFORE node evaluation,
+    runtime.go:103-163), so dropping a non-matching in-bbox row would
+    change which later rows fire — tightening is only event-sound when
+    the gate is constant-true."""
     import math
 
+    from spinix_spark.dsl import ast_nodes as ast
     from spinix_spark.dsl.compiler import SpDevicesObjectOp, SpObjectOp
 
     base = _bbox_pred(rule.bbox)
+    if rule.spec.props.repeat != ast.REPEAT_NONE:
+        return base
     if any(op is not Token.AND for op in rule.spec.ops):
         return base
     for node in rule.spec.nodes:
@@ -196,15 +206,19 @@ def _sql_rule_events(points: DataFrame, engine: Engine, rule, plan) -> DataFrame
     return out
 
 
-def _at_rule_events(
+def _at_base_rows(
     points: DataFrame, engine: Engine, rule, at_node, devices_df: DataFrame,
-    n_salt: int = 0,
-) -> DataFrame | None:
-    """Event rows for one devices(@) rule via the fact-scale pair-join
-    strategy (engine/devices_at.py): no snapshot broadcast, no driver
-    collect, no per-snapshot-device Python loop. Returns None when a
-    non-@ node is not Catalyst-compilable (caller falls back to the
-    broadcast kernel path)."""
+    n_salt: int, join_how: str,
+):
+    """Shared front half of the devices(@) pair-join strategies:
+    pruned + layer-filtered rows carrying ``_rowkey``, the companion
+    nodes' prep columns, and the @ verdict joined on as ``_at_refs``
+    (null ⇔ no candidate satisfied the verb). ``join_how='inner'``
+    keeps only @-matching rows (stateless all-AND: non-matching rows
+    can never emit); ``'left'`` keeps every gated row (stateful: the
+    trigger fold must see non-matching rows too). Returns
+    ``(joined, node_sqls)`` or None when a companion node is not
+    Catalyst-compilable."""
     from spinix_spark.engine.devices_at import at_candidate_pairs, at_row_matches
     from spinix_spark.engine.sql_compile import compile_node_sql
 
@@ -233,7 +247,25 @@ def _at_rule_events(
     if prep:
         base = base.selectExpr("*", *[f"{sql} AS {name}" for name, sql in prep])
     pairs = at_candidate_pairs(base, devices_df, at_node, engine.scheme, n_salt=n_salt)
-    joined = base.join(at_row_matches(pairs), "_rowkey")
+    joined = base.join(at_row_matches(pairs), "_rowkey", join_how)
+    return joined, node_sqls
+
+
+def _at_rule_events(
+    points: DataFrame, engine: Engine, rule, at_node, devices_df: DataFrame,
+    n_salt: int = 0,
+) -> DataFrame | None:
+    """Event rows for one STATELESS devices(@) rule via the fact-scale
+    pair-join strategy (engine/devices_at.py): no snapshot broadcast,
+    no driver collect, no per-snapshot-device Python loop. Returns None
+    when a non-@ node is not Catalyst-compilable (caller falls back to
+    the broadcast kernel path)."""
+    res = _at_base_rows(points, engine, rule, at_node, devices_df, n_salt, "inner")
+    if res is None:
+        return None
+    joined, node_sqls = res
+    spec = rule.spec
+    columns = set(points.columns)
 
     ok_sqls = ["true" if ns is None else ns.ok_sql for ns in node_sqls]
     acc = ok_sqls[0]
@@ -281,6 +313,277 @@ def _at_rule_events(
     return out
 
 
+def _seed_states_from_column(states: StateStore, pdf: pd.DataFrame) -> None:
+    """Seed prior states that arrived attached to this batch's rows via
+    the per-device ``_states`` struct array (the fact-scale state
+    carry). First sighting wins — later Arrow batches must not clobber
+    in-task mutations."""
+    if "_states" not in pdf.columns:
+        return
+    seed: list[dict] = []
+    for did, st_list in zip(pdf["device_id"], pdf["_states"]):
+        if st_list is None or len(st_list) == 0:
+            continue
+        for st in st_list:
+            seed.append(
+                {
+                    "device_id": str(did),
+                    "rule_id": str(st["rule_id"]),
+                    "last_seen": int(st["last_seen"]),
+                    "last_reset": int(st["last_reset"]),
+                    "hits": int(st["hits"]),
+                    "now": int(st["now"]),
+                }
+            )
+    states.load_if_absent(seed)
+
+
+def _join_state_carry(df: DataFrame, state_df: DataFrame) -> DataFrame:
+    """Attach prior (device, rule) trigger states to rows as a
+    per-device struct array — the fact-scale carry: states ride the
+    device_id shuffle, no broadcast, no driver round-trip."""
+    sdf = state_df.groupBy("device_id").agg(
+        F.collect_list(
+            F.struct("rule_id", "last_seen", "last_reset", "hits", "now")
+        ).alias("_states")
+    )
+    return df.join(sdf, "device_id", "left")
+
+
+def _at_rule_events_stateful(
+    points: DataFrame, engine: Engine, rule, at_node, devices_df: DataFrame,
+    n_salt: int = 0, state_df: DataFrame | None = None,
+    state_rows: list[dict] | None = None,
+) -> DataFrame | None:
+    """Event + state rows for one STATEFUL (real ``:trigger``)
+    devices(@) rule at fact scale — the composition of the two existing
+    mechanisms (reference semantics: runtime.go:103-163 + 1461-1483):
+
+    1. the pair-join candidate strategy (engine/devices_at.py) computes
+       the @ verdict relationally — snapshot stays a DataFrame, k-ring
+       equi-join, exact-candidacy rect, vectorized refine; LEFT join so
+       non-matching rows survive (the trigger consumes on them);
+    2. companion nodes evaluate as Catalyst columns; the all-AND fold
+       collapses to one ``_final`` boolean — all JVM-side;
+    3. the sequential per-device trigger fold (checkTrigger/changeState
+       in (device_id, datetime) order) runs in mapInPandas over a
+       SLIM projection (url, device_id, datetime, _final, refs) — the
+       only per-row Python is the inherently-sequential state machine,
+       and prior states ride the same device_id shuffle
+       (``state_df`` carry), so nothing fact-sized touches the driver.
+
+    Returns None when a companion node is not Catalyst-compilable."""
+    from spinix_spark.dsl import ast_nodes as ast
+    from spinix_spark.engine.runtime import _check_trigger
+    from spinix_spark.engine.stores import state_need_reset, state_reset
+
+    res = _at_base_rows(points, engine, rule, at_node, devices_df, n_salt, "left")
+    if res is None:
+        return None
+    joined, node_sqls = res
+    spec = rule.spec
+    columns = set(points.columns)
+
+    ok_sqls = [
+        "(_at_refs IS NOT NULL)" if ns is None else ns.ok_sql for ns in node_sqls
+    ]
+    final_sql = " AND ".join(f"({s})" for s in ok_sqls)
+    refs_sqls = [
+        "coalesce(_at_refs, array())" if ns is None else ns.refs_sql
+        for ns in node_sqls
+    ]
+    url_sql = "url" if "url" in columns else "''"
+    dt_sql = "CAST(datetime AS BIGINT)" if "datetime" in columns else "CAST(0 AS BIGINT)"
+    sel = [
+        f"{url_sql} AS url",
+        "device_id",
+        f"{dt_sql} AS _dt",
+        f"coalesce({final_sql}, false) AS _final",
+    ]
+    sel += [f"{rs} AS _refs{j}" for j, rs in enumerate(refs_sqls)]
+    slim = joined.selectExpr(*sel)
+    if state_df is not None:
+        slim = _join_state_carry(slim, state_df)
+    # one owner task per device + deterministic per-device event order
+    # (same discipline as the kernel's stateful branch)
+    slim = slim.repartition("device_id").sortWithinPartitions(
+        "device_id", "_dt", "url"
+    )
+
+    node_meta = [
+        ("device", "devices", str(at_node.op))
+        if ns is None
+        else (ns.left_kw, ns.right_kw, ns.op)
+        for ns in node_sqls
+    ]
+    rule_id = rule.rule_id
+    spec_src = spec.source
+    seed_rows = [dict(r) for r in (state_rows or [])]
+    repeat = spec.props.repeat
+    reset_interval_s = spec.props.reset_interval_s
+    counts_hits = repeat in (ast.REPEAT_TIMES, ast.REPEAT_ONCE)
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        states = StateStore()
+        states.load(seed_rows)
+        states.clear_dirty()
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            _seed_states_from_column(states, pdf)
+            n = len(pdf)
+            dts = pdf["_dt"].to_numpy(dtype=np.int64)
+            dids = pdf["device_id"].to_numpy(dtype=object)
+            finals = (
+                pdf["_final"].astype("boolean").fillna(False).to_numpy(dtype=bool)
+            )
+            emit = np.zeros(n, dtype=bool)
+            for i in range(n):
+                st = states.lookup_or_make(str(dids[i]), rule_id)
+                now = int(dts[i])
+                if now > 0:
+                    st["now"] = now
+                if state_need_reset(st, reset_interval_s):
+                    state_reset(st)
+                    st["last_reset"] = st["now"]
+                trig = _check_trigger(spec, st)
+                if trig:
+                    st["last_seen"] = st["now"]
+                    if counts_hits:
+                        st["hits"] += 1
+                    states.update(st)
+                emit[i] = trig and finals[i]
+            idx = np.nonzero(emit)[0]
+            if idx.size == 0:
+                continue
+            urls = pdf["url"].to_numpy(dtype=object)
+            frames = []
+            for j, (left_kw, right_kw, op_s) in enumerate(node_meta):
+                refs_series = pdf[f"_refs{j}"]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "row_type": "event",
+                            "url": urls[idx],
+                            "device_id": dids[idx],
+                            "rule_id": rule_id,
+                            "spec": spec_src,
+                            "ok": True,
+                            "left_kw": left_kw,
+                            "right_kw": right_kw,
+                            "op": op_s,
+                            "right_refs": [
+                                list(refs_series.iloc[i]) for i in idx
+                            ],
+                            "datetime": dts[idx],
+                            "last_seen": 0,
+                            "last_reset": 0,
+                            "hits": 0,
+                            "now": 0,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+        snap = states.dirty_snapshot()
+        if snap:
+            yield pd.DataFrame(
+                {
+                    "row_type": "state",
+                    "url": "",
+                    "device_id": [s["device_id"] for s in snap],
+                    "rule_id": [s["rule_id"] for s in snap],
+                    "spec": "",
+                    "ok": True,
+                    "left_kw": "",
+                    "right_kw": "",
+                    "op": "",
+                    "right_refs": [[] for _ in snap],
+                    "datetime": 0,
+                    "last_seen": [int(s["last_seen"]) for s in snap],
+                    "last_reset": [int(s["last_reset"]) for s in snap],
+                    "hits": [int(s["hits"]) for s in snap],
+                    "now": [int(s["now"]) for s in snap],
+                }
+            )
+
+    return slim.mapInPandas(fold, schema=OUT_SCHEMA)
+
+
+def _triggerless_state_rows(
+    points: DataFrame, rule, state_df: DataFrame | None
+) -> DataFrame:
+    """State rows for a TRIGGER-LESS stateful spec (a ``{...}`` props
+    block without ``:trigger``) evaluated on the SQL / pair-join paths.
+
+    The reference calls changeState for every isStateful spec
+    (runtime.go:133-163): with repeat NONE the gate is constant-true,
+    so per gated row (rule bbox ∧ layer): maybe-reset, then
+    ``last_seen = now``. Events are unaffected, but state output must
+    match the kernel path. The fold is sequential per device, so it
+    runs as applyInPandas over a two-column (device_id, datetime)
+    projection — nothing else crosses Arrow."""
+    from spinix_spark.engine.stores import state_need_reset, state_reset
+
+    rule_id = rule.rule_id
+    reset_interval_s = rule.spec.props.reset_interval_s
+    layer = rule.spec.props.layer
+    gated = points.where(F.expr(_bbox_pred(rule.bbox))).where(
+        F.col("layer_id") == layer
+    )
+    dt_sql = (
+        "CAST(datetime AS BIGINT)"
+        if "datetime" in points.columns
+        else "CAST(0 AS BIGINT)"
+    )
+    slim = gated.selectExpr("device_id", f"{dt_sql} AS _dt")
+    if state_df is not None:
+        slim = _join_state_carry(slim, state_df)
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        states = StateStore()
+        states.clear_dirty()
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            _seed_states_from_column(states, pdf)
+            dts = pdf["_dt"].to_numpy(dtype=np.int64)
+            dids = pdf["device_id"].to_numpy(dtype=object)
+            for i in range(len(pdf)):
+                st = states.lookup_or_make(str(dids[i]), rule_id)
+                now = int(dts[i])
+                if now > 0:
+                    st["now"] = now
+                if state_need_reset(st, reset_interval_s):
+                    state_reset(st)
+                    st["last_reset"] = st["now"]
+                st["last_seen"] = st["now"]
+                states.update(st)
+        snap = states.dirty_snapshot()
+        if snap:
+            yield pd.DataFrame(
+                {
+                    "row_type": "state",
+                    "url": "",
+                    "device_id": [s["device_id"] for s in snap],
+                    "rule_id": [s["rule_id"] for s in snap],
+                    "spec": "",
+                    "ok": True,
+                    "left_kw": "",
+                    "right_kw": "",
+                    "op": "",
+                    "right_refs": [[] for _ in snap],
+                    "datetime": 0,
+                    "last_seen": [int(s["last_seen"]) for s in snap],
+                    "last_reset": [int(s["last_reset"]) for s in snap],
+                    "hits": [int(s["hits"]) for s in snap],
+                    "now": [int(s["now"]) for s in snap],
+                }
+            )
+
+    slim = slim.repartition("device_id").sortWithinPartitions("device_id", "_dt")
+    return slim.mapInPandas(fold, schema=OUT_SCHEMA)
+
+
 def detect_batch_spark(
     points: DataFrame,
     engine: Engine,
@@ -297,37 +600,84 @@ def detect_batch_spark(
     get (events, states).
 
     Per-rule physical strategy:
-    1. ``devices_df`` given + rule is a stateless all-AND devices(@)
-       shape → fact-scale pair-join (engine/devices_at.py): the device
-       snapshot stays a DataFrame (no broadcast, no driver collect).
+    1. ``devices_df`` given + rule is an all-AND devices(@) shape →
+       fact-scale pair-join (engine/devices_at.py): the device snapshot
+       stays a DataFrame (no broadcast, no driver collect). Rules with
+       a real ``:trigger`` additionally route through the sequential
+       per-device trigger fold (_at_rule_events_stateful).
     2. Rule compiles to pure Catalyst expressions
        (engine/sql_compile.py) → entirely JVM-side.
     3. Otherwise → vectorized-kernel mapInPandas path with the
        broadcast snapshot (engine.devices).
     All strategies produce identical rows (cross-path parity tested);
     ``prefer_sql=False`` forces the kernel path for 2/3.
+
+    When ``devices_df`` is given but an @ rule falls OUTSIDE the
+    pair-join shape, the kernel fallback would evaluate @ against the
+    broadcast snapshot; if that snapshot is EMPTY the rule would
+    silently match nothing, so this raises instead (populate
+    engine.devices for the kernel fallback, or reshape the rule).
     """
+    from spinix_spark.dsl import ast_nodes as ast
+    from spinix_spark.dsl.compiler import SpDevicesOp
     from spinix_spark.engine.devices_at import devices_at_node
     from spinix_spark.engine.sql_compile import try_compile_rule_sql
 
     sql_planned = []
     kernel_rules = []
     at_outs = []
+    state_synth_rules = []
     for r in engine.rules.values():
         if devices_df is not None and prefer_sql:
-            at_node = devices_at_node(r)
+            at_node = devices_at_node(r, allow_stateful=True)
             if at_node is not None:
-                ev = _at_rule_events(
-                    points, engine, r, at_node, devices_df, n_salt=at_salt
-                )
+                if r.spec.props.repeat != ast.REPEAT_NONE:
+                    ev = _at_rule_events_stateful(
+                        points, engine, r, at_node, devices_df,
+                        n_salt=at_salt, state_df=state_df,
+                        state_rows=state_rows,
+                    )
+                else:
+                    ev = _at_rule_events(
+                        points, engine, r, at_node, devices_df, n_salt=at_salt
+                    )
+                    if ev is not None and r.spec.is_stateful:
+                        state_synth_rules.append(r)
                 if ev is not None:
                     at_outs.append(ev)
                     continue
         plan = try_compile_rule_sql(engine, r) if prefer_sql else None
         if plan is not None:
             sql_planned.append((r, plan))
+            if r.spec.is_stateful:
+                # trigger-less stateful: constant-true gate, but the
+                # reference still advances last_seen per gated row
+                state_synth_rules.append(r)
         else:
+            if devices_df is not None and len(engine.devices) == 0 and any(
+                isinstance(n, SpDevicesOp) and n.right.all and not n.right.refs
+                for n in r.spec.nodes
+            ):
+                from spinix_spark.engine.devices_at import at_ineligible_reasons
+
+                reasons = at_ineligible_reasons(engine, points.columns)
+                why = "; ".join(
+                    x for x in reasons if x.startswith(f"rule {r.rule_id}:")
+                ) or f"rule {r.rule_id}: not Catalyst-compilable"
+                raise ValueError(
+                    "devices(@) rule fell back to the broadcast-kernel "
+                    "path while the snapshot was supplied as a DataFrame "
+                    "and engine.devices is EMPTY — @ would silently "
+                    f"evaluate false everywhere. {why}. Populate "
+                    "engine.devices (dimension scale) or reshape the "
+                    "rule to the pair-join shape (all-AND, one @ node, "
+                    "Catalyst-compilable companions)."
+                )
             kernel_rules.append(r)
+
+    at_outs += [
+        _triggerless_state_rows(points, r, state_df) for r in state_synth_rules
+    ]
 
     sql_outs = at_outs + [
         _sql_rule_events(points, engine, r, plan) for r, plan in sql_planned
@@ -540,10 +890,19 @@ def split_output(out: DataFrame) -> tuple[DataFrame, DataFrame]:
     return events, states
 
 
+# snapshot_from_points collects the per-device latest rows to the
+# driver (dimension-scale broadcastable snapshot); refuse past this
+# device count — the fact-scale form is devices_at.snapshot_df_from_points
+SNAPSHOT_GUARD_ROWS = 1_000_000
+
+
 def snapshot_from_points(points: DataFrame) -> DeviceSnapshot:
     """Latest position per device (InsertOrReplace set-form,
     devices.go:105-147): row_number over (device_id order by datetime
-    desc) = 1, collected to a broadcastable snapshot."""
+    desc) = 1, collected to a broadcastable snapshot. DIMENSION-SCALE
+    ONLY (one row per device on the driver) — at url-as-device
+    cardinality use :func:`spinix_spark.engine.devices_at.
+    snapshot_df_from_points`, which keeps the snapshot a DataFrame."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("device_id").orderBy(F.col("datetime").desc())
@@ -551,10 +910,20 @@ def snapshot_from_points(points: DataFrame) -> DeviceSnapshot:
         points.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
-    )
+    ).cache()
+    n = latest.count()
+    if n > SNAPSHOT_GUARD_ROWS:
+        latest.unpersist()
+        raise ValueError(
+            f"snapshot_from_points: {n} devices (> {SNAPSHOT_GUARD_ROWS}) "
+            "would be collected to the driver; use "
+            "devices_at.snapshot_df_from_points (DataFrame snapshot, no "
+            "collect) at this scale"
+        )
     snap = DeviceSnapshot()
     cols = ["device_id", "layer_id", "lat", "lon", "datetime"]
     have = [c for c in cols if c in latest.columns]
     for row in latest.select(*have).collect():
         snap.insert_or_replace(row.asDict())
+    latest.unpersist()
     return snap

@@ -351,14 +351,14 @@ DETECT_ONCE_ORACLE = (
     "ORDER BY batch, device_slot"
 )
 
-# times 3: min(3, per-device row count) in batch 1; leftover quota
-# (3 - count, when positive) in batch 2
+# times 3: min(3, per-device row count) in batch 1; batch 2 replays the
+# SAME cnt rows, so it can fire at most min(cnt, leftover quota 3-cnt)
 DETECT_TIMES_ORACLE = (
     f"WITH c AS (SELECT device_slot, COUNT(*) AS cnt FROM ({_SLOTS}) s GROUP BY device_slot) "
     "SELECT CAST(1 AS BIGINT) AS batch, device_slot, "
     "CAST(LEAST(3, cnt) AS BIGINT) AS n_events FROM c "
     "UNION ALL "
-    "SELECT CAST(2 AS BIGINT), device_slot, CAST(LEAST(3, GREATEST(3 - cnt, 0)) AS BIGINT) "
+    "SELECT CAST(2 AS BIGINT), device_slot, CAST(LEAST(cnt, 3 - cnt) AS BIGINT) "
     "FROM c WHERE cnt < 3 "
     "ORDER BY batch, device_slot"
 )

@@ -215,7 +215,7 @@ def _lsh_pairs_from(mh_source: str) -> str:
     view/table name)."""
     rows_per_band = N_HASHES // BANDS
     return (
-        f"WITH mh AS (SELECT * FROM {mh_source}), "
+        f"WITH mh AS (SELECT * FROM {mh_source} AS _mhsrc), "
         "bk AS (SELECT doc_id, CAST(FLOOR(j / "
         f"{float(rows_per_band)!r}) AS BIGINT) AS band, "
         + "CONCAT_WS(',', "
@@ -231,21 +231,8 @@ def _lsh_pairs_from(mh_source: str) -> str:
 
 
 def _lsh_pairs_sql(minhash_sql: str) -> str:
-    rows_per_band = N_HASHES // BANDS
-    return (
-        f"WITH mh AS ({minhash_sql}), "
-        "bk AS (SELECT doc_id, CAST(FLOOR(j / "
-        f"{float(rows_per_band)!r}) AS BIGINT) AS band, "
-        + "CONCAT_WS(',', "
-        + ", ".join(
-            f"CAST(MIN(CASE WHEN j % {rows_per_band} = {r} THEN mh END) AS STRING)"
-            for r in range(rows_per_band)
-        )
-        + ") AS bucket FROM mh GROUP BY doc_id, CAST(FLOOR(j / "
-        f"{float(rows_per_band)!r}) AS BIGINT)) "
-        "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bk a "
-        "JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"
-    )
+    """_lsh_pairs_from over an inline minhash query."""
+    return _lsh_pairs_from(f"({minhash_sql})")
 
 
 Q_LSH_SPARK = _lsh_pairs_sql(Q_MINHASH_SPARK)
@@ -288,6 +275,11 @@ def _cached_shingles(spark: SparkSession, sf_dir: str, view: str = "mh_shingles"
 
 
 LSH_SALT = 8
+
+# min-label propagation converges in ≤ eccentricity(component) rounds;
+# exceeding this means a pathological near-dup chain — fail loudly
+# rather than return unconverged cluster ids
+CC_MAX_ITERATIONS = 20
 
 
 def _lsh_pairs_from_salted(mh_source: str, n_salt: int = LSH_SALT) -> str:
@@ -367,6 +359,26 @@ def spark_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark 4.x InlineCTE re-resolution bug, and the checkpoint also
     # truncates lineage for the iteration below
     edges = spark.sql(_lsh_pairs_from_salted("mh_sig"))
+    labels = min_label_propagation(edges)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+def min_label_propagation(
+    edges: DataFrame, max_iterations: int | None = None
+) -> DataFrame:
+    """Connected components over an (a_id, b_id) edge DataFrame by
+    iterative min-label propagation. Returns (node, label = min node id
+    reachable). Each iteration is one shuffle on the edge key; the
+    label count shrinks monotonically, so convergence is bounded by the
+    max component eccentricity, not the graph size. Raises loudly if
+    the iteration cap is hit before convergence — silently returning
+    unconverged labels would be wrong cluster ids with no signal."""
+    from pyspark.sql import functions as F
+
+    if max_iterations is None:
+        max_iterations = CC_MAX_ITERATIONS
     und = (
         edges.selectExpr("a_id AS u", "b_id AS v")
         .unionAll(edges.selectExpr("b_id AS u", "a_id AS v"))
@@ -378,7 +390,8 @@ def spark_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(20):  # ≥ max component diameter at any realistic scale
+    converged = False
+    for _ in range(max_iterations):
         neigh = (
             und.join(labels, und.v == labels.node)
             .groupBy("u")
@@ -404,10 +417,15 @@ def spark_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
-    ).orderBy("doc_id")
+    if not converged:
+        raise RuntimeError(
+            f"min_label_propagation did not converge in {max_iterations} "
+            "iterations (a connected component has eccentricity > "
+            f"{max_iterations}); raise the cap or pre-split the component"
+        )
+    return labels
 
 
 def _dedup_clusters_oracle() -> str:

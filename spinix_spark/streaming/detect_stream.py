@@ -37,6 +37,12 @@ from spinix_spark.engine.spark_pipeline import (
 )
 
 
+# stream_detect / snapshot_from_points collect to the driver by design
+# (dimension-scale demo forms); refuse loudly past this row count so the
+# foot-gun can't silently OOM the driver at fact scale
+COLLECT_GUARD_ROWS = 1_000_000
+
+
 def stream_detect(
     points_stream: DataFrame,
     engine: Engine,
@@ -60,6 +66,15 @@ def stream_detect(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal state_rows
         batch_df = batch_df.cache()
+        n = batch_df.count()
+        if n > COLLECT_GUARD_ROWS:
+            raise ValueError(
+                f"stream_detect micro-batch has {n} rows (> "
+                f"{COLLECT_GUARD_ROWS}): this demo form collects each "
+                "batch to the driver to advance the snapshot; use "
+                "stream_detect_scalable (parquet-versioned snapshot, no "
+                "driver collect) at this scale"
+            )
         out = detect_batch_spark(batch_df, engine, state_rows=state_rows)
         events, states = split_output(out)
         sink(events, batch_id)
@@ -77,6 +92,31 @@ def stream_detect(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _latest_version(
+    spark, work_dir: str, table: str, batch_id: int
+) -> tuple[int, DataFrame | None]:
+    """Latest persisted version STRICTLY BELOW batch_id. Versions are
+    keyed by batch_id, so on a checkpointed foreachBatch replay of
+    batch N (crash after the vN write) this re-reads the pre-N state —
+    the replay is idempotent instead of evaluating the batch against a
+    snapshot containing its own rows / already-advanced trigger
+    state."""
+    import os
+
+    base = os.path.join(work_dir, table)
+    if not os.path.isdir(base):
+        return -1, None
+    versions = sorted(
+        v
+        for d in os.listdir(base)
+        if d.startswith("v") and (v := int(d[1:])) < batch_id
+    )
+    if not versions:
+        return -1, None
+    v = versions[-1]
+    return v, spark.read.parquet(os.path.join(base, f"v{v}"))
 
 
 def stream_detect_scalable(
@@ -109,48 +149,33 @@ def stream_detect_scalable(
     applyInPandasWithState form (keyed_detect) remains for
     low-latency per-key streaming.
     """
-    from spinix_spark.dsl.compiler import SpDevicesOp
-    from spinix_spark.engine.devices_at import snapshot_df_from_points
+    from spinix_spark.engine.devices_at import (
+        at_ineligible_reasons,
+        snapshot_df_from_points,
+    )
     from spinix_spark.engine.spark_pipeline import merge_state_df
 
-    # a rule that is BOTH stateful and devices(@) can't use the
-    # pair-join strategy (trigger state needs the sequential kernel
-    # fold) and the kernel's @ loop would silently see an EMPTY
-    # broadcast snapshot here — reject loudly instead
-    for r in engine.rules.values():
-        has_at = any(
-            isinstance(n, SpDevicesOp) and n.right.all for n in r.spec.nodes
+    # every @ rule must fit the pair-join strategy here (the kernel
+    # fallback's broadcast snapshot is empty at fact scale — @ would
+    # silently evaluate false). The probe mirrors the ACTUAL routing:
+    # shape check + a Catalyst compile dry-run of the companion nodes.
+    # Stateful @ rules are fine — they take _at_rule_events_stateful.
+    reasons = at_ineligible_reasons(engine, points_stream.columns)
+    if reasons:
+        raise ValueError(
+            "stream_detect_scalable: devices(@) rule(s) would fall back "
+            "to the broadcast-kernel path, whose snapshot is empty at "
+            "fact scale: " + "; ".join(reasons)
         )
-        if has_at and r.spec.props.repeat != 0:
-            raise ValueError(
-                f"rule {r.rule_id}: stateful devices(@) rules are not "
-                "supported by stream_detect_scalable (the trigger fold "
-                "needs the kernel path, whose snapshot would be empty "
-                "here); split the rule or use the micro-batch demo form"
-            )
 
     snap_cols = ["device_id", "layer_id", "lat", "lon", "datetime"]
-
-    def _latest_version(spark, table: str) -> tuple[int, DataFrame | None]:
-        import os
-
-        base = os.path.join(work_dir, table)
-        if not os.path.isdir(base):
-            return -1, None
-        versions = sorted(
-            int(d[1:]) for d in os.listdir(base) if d.startswith("v")
-        )
-        if not versions:
-            return -1, None
-        v = versions[-1]
-        return v, spark.read.parquet(os.path.join(base, f"v{v}"))
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         import os
 
         spark = batch_df.sparkSession
-        _v, snap = _latest_version(spark, "snapshot")
-        _sv, state = _latest_version(spark, "state")
+        _v, snap = _latest_version(spark, work_dir, "snapshot", batch_id)
+        _sv, state = _latest_version(spark, work_dir, "state", batch_id)
         out = detect_batch_spark(
             batch_df,
             engine,
