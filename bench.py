@@ -66,9 +66,15 @@ def run_geo_pipeline(spark, n_pages: int) -> dict:
     # persist the geoparsed points: both downstream actions (detect
     # events, tile raster) consume them — a real job would write them
     # to the lake once; recomputing synthesis+geoparse per action
-    # would double-count the scan
+    # would double-count the scan. The wide `text` column is PRUNED
+    # from the persisted projection: neither detect nor the raster
+    # reads it (byte-identical text stays in the pages table), and
+    # caching it would dominate the cache write at any scale.
     points = (
-        geoparse_points(pages).withColumn("cell", cell_column(DEFAULT_SCHEME)).persist()
+        geoparse_points(pages)
+        .drop("text")
+        .withColumn("cell", cell_column(DEFAULT_SCHEME))
+        .persist()
     )
 
     engine = Engine()
@@ -167,6 +173,124 @@ def run_devices_at_pages(spark, n_pages: int) -> dict:
     return {"n_at_events": int(events.count())}
 
 
+def run_string_rule_kernel(spark, n_pages: int) -> dict:
+    """Kernel-path string comparator: a buffered-device zone rule AND a
+    ``day eq`` weekday-string clause — the buffered node keeps the rule
+    on the vectorized kernel (the measured-fastest physical plan), so
+    this times EqualStrOp's NumPy unicode comparison over every pruned
+    row (no per-row Python since round 3)."""
+    from spinix_spark.engine.detect import Engine
+    from spinix_spark.engine.spark_pipeline import detect_batch_spark, split_output
+    from spinix_spark.engine.stores import zone_from_ring
+    from spinix_spark.geo.rings import circle_ring
+    from spinix_spark.io.geoparse import geoparse_points
+    from spinix_spark.io.pages import BASE_LAT, BASE_LON, synthesize_pages
+
+    points = geoparse_points(synthesize_pages(spark, n_pages)).drop("text")
+    engine = Engine()
+    engine.zones.add(
+        zone_from_ring(
+            "c5vj26evvhfjvfseaulg", circle_ring(BASE_LAT, BASE_LON, 900.0, 6)
+        )
+    )
+    # base_ts 1700000000 is Tue 2023-11-14; rows span one day (Tue/Wed)
+    engine.add_rule(
+        'device :radius 300m INTERSECTS polygon(c5vj26evvhfjvfseaulg)'
+        ' and day eq "Tuesday"',
+        rule_id="r" + "4" * 19,
+    )
+    events, _ = split_output(detect_batch_spark(points, engine))
+    return {"n_string_rule_events": int(events.count())}
+
+
+def run_stateful_at_pages(spark, n_pages: int) -> dict:
+    """Fact-scale STATEFUL devices(@): the round-3 composition — pair
+    join for the @ verdict, sequential per-device trigger fold riding
+    the device_id shuffle, DataFrame snapshot, no driver collect."""
+    from spinix_spark.engine.detect import Engine
+    from spinix_spark.engine.devices_at import snapshot_df_from_points
+    from spinix_spark.engine.spark_pipeline import detect_batch_spark, split_output
+    from spinix_spark.io.geoparse import geoparse_points
+    from spinix_spark.io.pages import BASE_LAT, BASE_LON, synthesize_pages
+
+    points = geoparse_points(synthesize_pages(spark, n_pages)).drop("text")
+    snap = snapshot_df_from_points(points)
+    engine = Engine()
+    engine.add_rule(
+        "device :radius 250m intersects devices(@)"
+        f" {{ :center {BASE_LAT} {BASE_LON} :radius 100km"
+        " :trigger every 600s :reset after 24h }",
+        rule_id="r" + "5" * 19,
+    )
+    out = detect_batch_spark(points, engine, devices_df=snap, at_salt=8)
+    events, states = split_output(out)
+    return {"n_stateful_at_events": int(events.count())}
+
+
+def run_e2e_pipeline(spark, n_pages: int) -> dict:
+    """Composed 100×-shape rehearsal in ONE lineage: pages → text
+    quality/lang funnel → exact near-dup drop (fingerprint distinct) →
+    geoparse → detect → tile rollup. Every stage is the scale form
+    (Catalyst text ops, one-shuffle dedup, pruned persist, kernel
+    detect, single-shuffle raster) so the composed DAG — not just the
+    stages in isolation — has a recorded wall number."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from spinix_spark.engine.detect import Engine
+    from spinix_spark.engine.spark_pipeline import detect_batch_spark, split_output
+    from spinix_spark.engine.stores import zone_from_ring
+    from spinix_spark.engine.tiles import point_density_raster
+    from spinix_spark.geo.cells import DEFAULT_SCHEME
+    from spinix_spark.geo.rings import circle_ring
+    from spinix_spark.io.geoparse import cell_column, geoparse_points
+    from spinix_spark.io.pages import BASE_LAT, BASE_LON, synthesize_pages
+
+    pages = synthesize_pages(spark, n_pages)
+    # funnel: language gate + length/word-count quality floor (Catalyst)
+    funneled = pages.where(
+        (F.col("lang") == "en")
+        & (F.length("text") >= 30)
+        & (F.size(F.split(F.col("text"), r"\s+")) >= 6)
+    )
+    # exact dedup by content fingerprint: one shuffle on the hash,
+    # first url per fingerprint wins (deterministic)
+    w = Window.partitionBy("_fp").orderBy("url")
+    deduped = (
+        funneled.withColumn("_fp", F.xxhash64("text"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_fp")
+    )
+    points = (
+        geoparse_points(deduped)
+        .drop("text")
+        .withColumn("cell", cell_column(DEFAULT_SCHEME))
+        .persist()
+    )
+    n_clean = points.count()
+    engine = Engine()
+    engine.zones.add(
+        zone_from_ring(
+            "c5vj26evvhfjvfseaulg", circle_ring(BASE_LAT, BASE_LON, 900.0, 6)
+        )
+    )
+    engine.add_rule(
+        "device :radius 300m INTERSECTS polygon(c5vj26evvhfjvfseaulg)"
+        " and speed range [30 .. 170]",
+        rule_id="r" + "6" * 19,
+    )
+    events, _ = split_output(detect_batch_spark(points, engine))
+    n_ev = events.count()
+    n_tiles = point_density_raster(points).count()
+    points.unpersist()
+    return {
+        "n_e2e_clean": int(n_clean),
+        "n_e2e_events": int(n_ev),
+        "n_e2e_tiles": int(n_tiles),
+    }
+
+
 def run_hot_cell_pairs(spark, n_pages: int) -> dict:
     """Hot-cell radius self-join: the synthetic pages put ~10% of all
     points into ONE grid cell; the two-level salted pair join
@@ -227,6 +351,21 @@ def main() -> None:
     t0 = time.time()
     pipe_stats.update(run_devices_at_pages(spark, max(n_pages // 10, 10_000)))
     queries["devices_at_pages"] = round(time.time() - t0, 3)
+
+    # fact-scale STATEFUL devices(@): pair join + keyed trigger fold
+    t0 = time.time()
+    pipe_stats.update(run_stateful_at_pages(spark, max(n_pages // 10, 10_000)))
+    queries["stateful_at_pages"] = round(time.time() - t0, 3)
+
+    # kernel string comparator (EqualStrOp NumPy unicode path)
+    t0 = time.time()
+    pipe_stats.update(run_string_rule_kernel(spark, n_pages))
+    queries["string_rule_kernel"] = round(time.time() - t0, 3)
+
+    # composed funnel→dedup→geoparse→detect→tiles lineage
+    t0 = time.time()
+    pipe_stats.update(run_e2e_pipeline(spark, n_pages))
+    queries["e2e_pipeline"] = round(time.time() - t0, 3)
 
     total = round(sum(queries.values()), 3)
     out = {

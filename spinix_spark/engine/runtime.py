@@ -214,6 +214,22 @@ def int_val(batch: DeviceBatch, kw: Token) -> np.ndarray:
     return np.trunc(float_val(batch, kw)).astype(np.int64)
 
 
+# weekday/month renderings (time.Weekday/Month String(), runtime.go:
+# 2206-2212) as lookup tables — pandas .strftime is per-element Python
+# (it calls datetime.strftime row by row), a hot-path trap for string
+# comparators over large Arrow batches; integer field extraction +
+# NumPy fancy indexing is fully vectorized
+_DAY_NAMES = np.array(
+    ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday"],
+    dtype=object,
+)
+_MONTH_NAMES = np.array(
+    ["January", "February", "March", "April", "May", "June", "July",
+     "August", "September", "October", "November", "December"],
+    dtype=object,
+)
+
+
 def str_val(batch: DeviceBatch, kw: Token) -> np.ndarray:
     if kw is Token.MODEL:
         return batch.str_col("model")
@@ -225,13 +241,15 @@ def str_val(batch: DeviceBatch, kw: Token) -> np.ndarray:
         return batch.str_col("imei")
     ts = batch.ts()
     if kw is Token.MONTH:
-        return ts.strftime("%B").to_numpy(dtype=object)
+        return _MONTH_NAMES[ts.month.to_numpy() - 1]
     if kw is Token.DAY:
-        return ts.strftime("%A").to_numpy(dtype=object)
+        return _DAY_NAMES[ts.dayofweek.to_numpy()]
     if kw is Token.DATE:
-        return ts.strftime("%Y-%m-%d").to_numpy(dtype=object)
+        # UTC datetime64 truncated to days renders exactly "%Y-%m-%d"
+        return ts.tz_localize(None).values.astype("datetime64[D]").astype(str).astype(object)
     if kw is Token.DATETIME:
-        return ts.strftime("%Y-%m-%dT%H:%M:%SZ").to_numpy(dtype=object)
+        iso = ts.tz_localize(None).values.astype("datetime64[s]").astype(str)
+        return np.char.add(iso, "Z").astype(object)
     return np.full(batch.n, "", dtype=object)
 
 

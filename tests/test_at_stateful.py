@@ -353,7 +353,11 @@ def test_triggerless_stateful_state_rows_on_sql_path(spark):
 
     eng_sql = Engine()
     eng_sql.add_rule(rule, rule_id=RID)
-    ev_s, st_s = split_output(detect_batch_spark(points, eng_sql, prefer_sql=True))
+    ev_s, st_s = split_output(
+        detect_batch_spark(
+            points, eng_sql, prefer_sql=True, synth_triggerless_states=True
+        )
+    )
 
     eng_k = Engine()
     eng_k.add_rule(rule, rule_id=RID)
@@ -362,6 +366,12 @@ def test_triggerless_stateful_state_rows_on_sql_path(spark):
     assert _ev_canon(ev_s) == _ev_canon(ev_k)
     canon_s, canon_k = _st_canon(st_s), _st_canon(st_k)
     assert canon_s == canon_k and len(canon_s) == 3  # one state per device
+
+    # default (synth off): SQL path emits no state rows for the
+    # trigger-less spec — documented divergence, events identical
+    ev_d, st_d = split_output(detect_batch_spark(points, eng_sql, prefer_sql=True))
+    assert _ev_canon(ev_d) == _ev_canon(ev_k)
+    assert st_d.count() == 0
 
 
 def test_collect_guard_snapshot(spark, monkeypatch):

@@ -69,6 +69,33 @@ def test_geoparse_byte_identical_text(spark, pages):
     assert joined.where("t2 <> text").count() == 0  # byte-identical per url
 
 
+def test_geoparse_drops_pages_without_coords(spark):
+    """Regression: pages with no 'located at' pair must be DROPPED,
+    not crash the ANSI double cast on the empty extract (masked before
+    because every synthetic page matches)."""
+    pdf = pd.DataFrame(
+        {
+            "url": [
+                "https://fixture.test/aaaaaaaaaaaaaaaaaaaa/1",
+                "https://fixture.test/bbbbbbbbbbbbbbbbbbbb/2",
+                "https://fixture.test/cccccccccccccccccccc/3",
+            ],
+            "warc_ts": [pd.Timestamp("2023-11-14", tz="UTC")] * 3,
+            "html": [b"x", b"y", b"z"],
+            "text": [
+                "page located at 42.925, -72.275 speed 5 end.",
+                "no coordinates in this page at all",
+                "located at 1e-5, -2.5e-3 end.",  # exponent form, no speed
+            ],
+            "lang": ["en"] * 3,
+        }
+    )
+    rows = geoparse_points(spark.createDataFrame(pdf)).orderBy("url").collect()
+    assert len(rows) == 2
+    assert (rows[0].lat, rows[0].lon, rows[0].speed) == (42.925, -72.275, 5.0)
+    assert (rows[1].lat, rows[1].lon, rows[1].speed) == (1e-5, -2.5e-3, None)
+
+
 def test_geoparse_recovers_exact_doubles(spark, pages):
     # re-parse text in Python and compare with the Spark-extracted doubles
     import re
