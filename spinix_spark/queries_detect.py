@@ -309,6 +309,82 @@ def detect_devices_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def detect_devices_at_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL fact-scale ``devices(@)`` (round-3 strategy,
+    spark_pipeline._at_rule_events_stateful): the pair-join @ verdict
+    gated by the sequential per-device ``:trigger every 600s`` fold,
+    run over TWO batches of the same points with the trigger state
+    carried as a DataFrame (state_df) — no broadcast snapshot, nothing
+    fact-sized on the driver. Batch 1 fires each device's first row
+    (last_seen == 0) plus rows > 600 s past the anchor; batch 2 (same
+    rows, carried state) re-fires only the past-anchor rows. Events
+    appear only where the fired row's 250 m 12-gon contains a snapshot
+    device (reference semantics: runtime.go:103-163 + 1461-1483)."""
+    from spinix_spark.engine.devices_at import snapshot_df_from_points
+
+    engine = _engine()
+    engine.add_rule(
+        "device :radius 250m intersects devices(@)"
+        " { :center 42.935 -72.27 :radius 50km"
+        " :trigger every 600s :reset after 24h }",
+        rule_id="r" + "3" * 19,
+    )
+    pts = _points_as_devices(spark, sf_dir)
+    snap = snapshot_df_from_points(pts)
+    ev1, st1 = split_output(detect_batch_spark(pts, engine, devices_df=snap))
+    st1 = st1.cache()
+    ev2, _ = split_output(
+        detect_batch_spark(pts, engine, devices_df=snap, state_df=st1)
+    )
+
+    def fmt(ev: DataFrame, b: int) -> DataFrame:
+        return ev.select(
+            F.lit(b).cast("bigint").alias("batch"),
+            F.regexp_extract("url", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+            F.size("right_refs").cast("bigint").alias("n_refs"),
+        )
+
+    return fmt(ev1, 1).unionAll(fmt(ev2, 2)).orderBy("batch", "doc_id")
+
+
+def _devices_at_stateful_oracle() -> str:
+    from spinix_spark.geo.sqlgen import (
+        point_in_buffer_ring_sql,
+        rect_from_center_pred_sql,
+    )
+
+    slots = (
+        "SELECT CAST(doc_id % 37 AS BIGINT) AS device_slot, doc_id, lat, lon, datetime "
+        f"FROM ({_PSEL}) q"
+    )
+    latest = (
+        "SELECT device_slot, lat, lon FROM (SELECT device_slot, lat, lon, "
+        "ROW_NUMBER() OVER (PARTITION BY device_slot "
+        "ORDER BY datetime DESC, lat DESC, lon DESC) AS rn FROM p) t WHERE rn = 1"
+    )
+    cand = rect_from_center_pred_sql("a.lat", "a.lon", "b.lat", "b.lon", AT_RING_M)
+    pir = point_in_buffer_ring_sql(
+        "b.lat", "b.lon", "a.lat", "a.lon", AT_RING_M, 12, inclusive=True
+    )
+    # the trigger fold's (datetime, url) order: ties at a device's
+    # minimum datetime break on the url STRING ('doc://<id>'), so only
+    # the string-first row takes the last_seen==0 fire
+    return (
+        f"WITH p AS ({slots}), latest AS ({latest}), "
+        "matched AS (SELECT a.doc_id, COUNT(*) AS n_refs FROM p a "
+        f"JOIN latest b ON {cand} AND {pir} GROUP BY a.doc_id), "
+        "ord AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY device_slot "
+        "ORDER BY datetime, CONCAT('doc://', CAST(doc_id AS VARCHAR))) AS rn, "
+        "datetime, MIN(datetime) OVER (PARTITION BY device_slot) AS mn FROM p) "
+        "SELECT CAST(1 AS BIGINT) AS batch, m.doc_id, m.n_refs FROM matched m "
+        "JOIN ord o ON o.doc_id = m.doc_id WHERE o.rn = 1 OR o.datetime > o.mn + 600 "
+        "UNION ALL "
+        "SELECT CAST(2 AS BIGINT), m.doc_id, m.n_refs FROM matched m "
+        "JOIN ord o ON o.doc_id = m.doc_id WHERE o.datetime > o.mn + 600 "
+        "ORDER BY batch, doc_id"
+    )
+
+
 def _devices_at_oracle() -> str:
     from spinix_spark.geo.sqlgen import (
         point_in_buffer_ring_sql,
@@ -439,6 +515,10 @@ DETECT_QUERIES: dict[str, tuple] = {
     "detect_trigger_times": (detect_trigger_times, DETECT_TIMES_ORACLE),
     "detect_trigger_every": (detect_trigger_every, DETECT_EVERY_ORACLE),
     "detect_devices_at": (detect_devices_at, _devices_at_oracle()),
+    "detect_devices_at_stateful": (
+        detect_devices_at_stateful,
+        _devices_at_stateful_oracle(),
+    ),
     "detect_dd_membership": (detect_dd_membership, _dd_membership_oracle()),
     "detect_equal_devices": (detect_equal_devices, _equal_devices_oracle()),
     "detect_devices_object": (detect_devices_object, _devices_object_oracle()),
