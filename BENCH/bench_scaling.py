@@ -39,17 +39,18 @@ REPO = os.path.dirname(HERE)
 CHILD = r"""
 import json, statistics, sys, time
 sys.path.insert(0, {repo!r})
-from bench import build_spark, run_geo_pipeline
+import bench
 
 cpus = sys.argv[1]
 n_pages = int(sys.argv[2])
-spark = build_spark(cpus)
+job = getattr(bench, sys.argv[3])
+spark = bench.build_spark(cpus)
 # warmup: spins up all Python workers, JIT, codegen caches
-run_geo_pipeline(spark, max(n_pages // 10, 100000))
+job(spark, max(n_pages // 10, 100000))
 walls = []
 for _ in range(3):
     t0 = time.time()
-    stats = run_geo_pipeline(spark, n_pages)
+    stats = job(spark, n_pages)
     walls.append(time.time() - t0)
 # min-of-N: noise on this shared box is strictly additive (frequency
 # scaling, neighbors), so the minimum is the capacity estimator
@@ -81,10 +82,10 @@ def hw_capacity(procs: int, n: int = 1_500_000) -> float:
     return procs * n / wall
 
 
-def run_level(cpus: int, n_pages: int) -> dict:
+def run_level(cpus: int, n_pages: int, job: str = "run_geo_pipeline") -> dict:
     code = CHILD.format(repo=REPO)
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus), str(n_pages)],
+        [sys.executable, "-c", code, str(cpus), str(n_pages), job],
         capture_output=True,
         text=True,
         cwd=REPO,
@@ -107,13 +108,17 @@ def main() -> None:
     )
     assert hi_n == 4 * lo_n
     n_pages = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "12000000"))
+    # job: run_geo_pipeline (default) or run_e2e_pipeline (the composed
+    # funnel → dedup → geoparse → detect → tiles lineage)
+    job = os.environ.get("SPARK_GRAFT_SCALING_JOB", "run_geo_pipeline")
     cap_lo = hw_capacity(lo_n)
     cap_hi = hw_capacity(hi_n)
     hw_eff = cap_hi / (4.0 * cap_lo)
-    lo = run_level(lo_n, n_pages)
-    hi = run_level(hi_n, n_pages)
+    lo = run_level(lo_n, n_pages, job)
+    hi = run_level(hi_n, n_pages, job)
     raw_eff = hi["pages_per_sec"] / (4.0 * lo["pages_per_sec"])
     result = {
+        "job": job,
         "n_pages": n_pages,
         "levels": [lo_n, hi_n],
         f"local{lo_n}": lo,
@@ -127,7 +132,12 @@ def main() -> None:
         "pass_raw": raw_eff >= 0.8,
         "pass_hw_calibrated": raw_eff / hw_eff >= 0.8,
     }
-    name = "SCALING.json" if (lo_n, hi_n) == (2, 8) else f"SCALING_{lo_n}_{hi_n}.json"
+    tag = "" if job == "run_geo_pipeline" else "_E2E"
+    name = (
+        f"SCALING{tag}.json"
+        if (lo_n, hi_n) == (2, 8)
+        else f"SCALING{tag}_{lo_n}_{hi_n}.json"
+    )
     with open(os.path.join(HERE, name), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))

@@ -404,6 +404,52 @@ def test_collect_guard_stream_detect(spark, tmp_path, monkeypatch):
         raise AssertionError("stream should have failed on the guard")
 
 
+def test_at_stateful_random_worlds(spark):
+    """Randomized stateful fuzz: random verbs/buffers/snapshots ×
+    random trigger props, multi-partition with tiny Arrow batches —
+    the pair-join + fold composition must equal the broadcast kernel
+    (whose trigger fold is itself pinned to a sequential simulator in
+    test_trigger_fuzz.py) on every world, events AND states."""
+    rng = np.random.default_rng(77)
+    verbs = ["intersects", "near", "nintersects"]
+    props = [
+        ":trigger once",
+        ":trigger every 500s",
+        ":trigger 2 times interval 0s :reset after 1200s",
+    ]
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        for seed in (3, 41):
+            n = int(rng.integers(50, 100))
+            pdf = _mk_points(n=n, seed=seed)
+            snap_rows = _mk_snapshot(rng_seed=seed + 1, m=int(rng.integers(8, 20)))
+            verb = verbs[int(rng.integers(0, len(verbs)))]
+            radius = int(rng.integers(150, 700))
+            prop = props[int(rng.integers(0, len(props)))]
+            rule = (
+                f"device :radius {radius}m {verb} devices(@)"
+                f" {{ :center 42.93 -72.27 :radius 50km {prop} }}"
+            )
+            points = spark.createDataFrame(pdf).repartition(7)
+
+            eng_k = Engine()
+            for row in snap_rows:
+                eng_k.devices.insert_or_replace(row)
+            eng_k.add_rule(rule, rule_id=RID)
+            ev_k, st_k = split_output(detect_batch_spark(points, eng_k))
+
+            eng_j = Engine()
+            eng_j.add_rule(rule, rule_id=RID)
+            ddf = spark.createDataFrame(pd.DataFrame(snap_rows))
+            ev_j, st_j = split_output(
+                detect_batch_spark(points, eng_j, devices_df=ddf, at_salt=3)
+            )
+            assert _ev_canon(ev_k) == _ev_canon(ev_j), f"seed={seed} {rule}"
+            assert _st_canon(st_k) == _st_canon(st_j), f"seed={seed} {rule}"
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
 def test_min_label_propagation_cap_is_loud(spark):
     """A chain component whose eccentricity exceeds the iteration cap
     must raise, not silently return unconverged labels — and converge
