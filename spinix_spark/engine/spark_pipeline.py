@@ -67,14 +67,6 @@ OUT_SCHEMA = StructType(
 )
 
 
-# fold output of the stateful devices(@) strategy: OUT_SCHEMA plus the
-# row key and node index used to re-join the deferred @ refs
-_AT_FOLD_SCHEMA = StructType(
-    list(OUT_SCHEMA.fields)
-    + [StructField("_rowkey", LongType()), StructField("_j", LongType())]
-)
-
-
 def _bbox_pred(b, pad_lat: float = 0.0, pad_lon: float = 0.0) -> str:
     return (
         f"(lat >= {float(b[0]) - pad_lat!r} AND lat <= {float(b[2]) + pad_lat!r}"
@@ -216,24 +208,17 @@ def _sql_rule_events(points: DataFrame, engine: Engine, rule, plan) -> DataFrame
 
 def _at_base_rows(
     points: DataFrame, engine: Engine, rule, at_node, devices_df: DataFrame,
-    n_salt: int, join_how: str, defer_refs: bool = False,
+    n_salt: int, join_how: str,
 ):
     """Shared front half of the devices(@) pair-join strategies:
     pruned + layer-filtered rows carrying ``_rowkey``, the companion
-    nodes' prep columns, and the @ verdict joined on. ``join_how=
-    'inner'`` keeps only @-matching rows (stateless all-AND:
-    non-matching rows can never emit); ``'left'`` keeps every gated
-    row (stateful: the trigger fold must see non-matching rows too).
-
-    ``defer_refs=False``: the verdict joins on as the full ``_at_refs``
-    array (null ⇔ no candidate satisfied). ``defer_refs=True``: only a
-    boolean ``_at_ok`` joins on — callers that shuffle the rows again
-    (the stateful repartition) avoid dragging per-row string arrays
-    through that shuffle and re-join the refs onto their (small) fired
-    output instead.
-
-    Returns ``(joined, node_sqls, row_matches)`` or None when a
-    companion node is not Catalyst-compilable."""
+    nodes' prep columns, and the @ verdict joined on as ``_at_refs``
+    (null ⇔ no candidate satisfied the verb). ``join_how='inner'``
+    keeps only @-matching rows (stateless all-AND: non-matching rows
+    can never emit); ``'left'`` keeps every gated row (stateful: the
+    trigger fold must see non-matching rows too). Returns
+    ``(joined, node_sqls)`` or None when a companion node is not
+    Catalyst-compilable."""
     from spinix_spark.engine.devices_at import at_candidate_pairs, at_row_matches
     from spinix_spark.engine.sql_compile import compile_node_sql
 
@@ -262,13 +247,8 @@ def _at_base_rows(
     if prep:
         base = base.selectExpr("*", *[f"{sql} AS {name}" for name, sql in prep])
     pairs = at_candidate_pairs(base, devices_df, at_node, engine.scheme, n_salt=n_salt)
-    row_matches = at_row_matches(pairs)
-    if defer_refs:
-        marks = row_matches.select("_rowkey", F.lit(True).alias("_at_ok"))
-        joined = base.join(marks, "_rowkey", join_how)
-    else:
-        joined = base.join(row_matches, "_rowkey", join_how)
-    return joined, node_sqls, row_matches
+    joined = base.join(at_row_matches(pairs), "_rowkey", join_how)
+    return joined, node_sqls
 
 
 def _at_rule_events(
@@ -283,7 +263,7 @@ def _at_rule_events(
     res = _at_base_rows(points, engine, rule, at_node, devices_df, n_salt, "inner")
     if res is None:
         return None
-    joined, node_sqls, _ = res
+    joined, node_sqls = res
     spec = rule.spec
     columns = set(points.columns)
 
@@ -387,45 +367,44 @@ def _at_rule_events_stateful(
        collapses to one ``_final`` boolean — all JVM-side;
     3. the sequential per-device trigger fold (checkTrigger/changeState
        in (device_id, datetime) order) runs in mapInPandas over a
-       SLIM projection (url, device_id, datetime, _final boolean) — the
+       SLIM projection (url, device_id, datetime, _final, refs) — the
        only per-row Python is the inherently-sequential state machine,
-       prior states ride the same device_id shuffle (``state_df``
-       carry), and the @ node's (unbounded) ref arrays do NOT cross
-       that shuffle — they re-join onto the fired output afterwards —
-       so nothing fact-sized touches the driver.
+       and prior states ride the same device_id shuffle
+       (``state_df`` carry), so nothing fact-sized touches the driver.
+
+    Plan note (measured, round 3 / PLANS.md): the @ ref arrays ride
+    the device_id shuffle DELIBERATELY. The alternative — join only a
+    boolean for the fold and re-attach refs to the fired output —
+    makes the pair-refine stage a diamond consumed twice; Catalyst
+    re-evaluates it (no exchange reuse across the mapInPandas stage),
+    which measured ~35% slower end to end. One evaluation + arrays in
+    one shuffle beats two evaluations.
 
     Returns None when a companion node is not Catalyst-compilable."""
     from spinix_spark.dsl import ast_nodes as ast
     from spinix_spark.engine.runtime import _check_trigger
     from spinix_spark.engine.stores import state_need_reset, state_reset
 
-    res = _at_base_rows(
-        points, engine, rule, at_node, devices_df, n_salt, "left",
-        defer_refs=True,
-    )
+    res = _at_base_rows(points, engine, rule, at_node, devices_df, n_salt, "left")
     if res is None:
         return None
-    joined, node_sqls, row_matches = res
+    joined, node_sqls = res
     spec = rule.spec
     columns = set(points.columns)
 
-    at_idx = node_sqls.index(None)
     ok_sqls = [
-        "coalesce(_at_ok, false)" if ns is None else ns.ok_sql for ns in node_sqls
+        "(_at_refs IS NOT NULL)" if ns is None else ns.ok_sql for ns in node_sqls
     ]
     final_sql = " AND ".join(f"({s})" for s in ok_sqls)
-    # companion refs (bounded by the rule's explicit ref lists) ride
-    # the shuffle; the @ refs — unbounded per-row string arrays — are
-    # deferred and re-joined onto the fired output (see _at_base_rows)
     refs_sqls = [
-        "array()" if ns is None else ns.refs_sql for ns in node_sqls
+        "coalesce(_at_refs, array())" if ns is None else ns.refs_sql
+        for ns in node_sqls
     ]
     url_sql = "url" if "url" in columns else "''"
     dt_sql = "CAST(datetime AS BIGINT)" if "datetime" in columns else "CAST(0 AS BIGINT)"
     sel = [
         f"{url_sql} AS url",
         "device_id",
-        "_rowkey",
         f"{dt_sql} AS _dt",
         f"coalesce({final_sql}, false) AS _final",
     ]
@@ -486,7 +465,6 @@ def _at_rule_events_stateful(
             if idx.size == 0:
                 continue
             urls = pdf["url"].to_numpy(dtype=object)
-            keys = pdf["_rowkey"].to_numpy(dtype=np.int64)
             frames = []
             for j, (left_kw, right_kw, op_s) in enumerate(node_meta):
                 refs_series = pdf[f"_refs{j}"]
@@ -510,8 +488,6 @@ def _at_rule_events_stateful(
                             "last_reset": 0,
                             "hits": 0,
                             "now": 0,
-                            "_rowkey": keys[idx],
-                            "_j": j,
                         }
                     )
                 )
@@ -535,27 +511,10 @@ def _at_rule_events_stateful(
                     "last_reset": [int(s["last_reset"]) for s in snap],
                     "hits": [int(s["hits"]) for s in snap],
                     "now": [int(s["now"]) for s in snap],
-                    "_rowkey": 0,
-                    "_j": -1,
                 }
             )
 
-    out = slim.mapInPandas(fold, schema=_AT_FOLD_SCHEMA)
-    # re-attach the @ node's refs to the (small) fired output; the
-    # groupBy in at_row_matches already hash-partitioned row_matches by
-    # _rowkey, so this join reuses that exchange
-    out = (
-        out.join(row_matches, "_rowkey", "left")
-        .withColumn(
-            "right_refs",
-            F.when(
-                F.col("_j") == at_idx,
-                F.coalesce(F.col("_at_refs"), F.expr("array()")),
-            ).otherwise(F.col("right_refs")),
-        )
-        .select(*[f.name for f in OUT_SCHEMA.fields])
-    )
-    return out
+    return slim.mapInPandas(fold, schema=OUT_SCHEMA)
 
 
 def _triggerless_state_rows(
