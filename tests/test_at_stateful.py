@@ -404,6 +404,26 @@ def test_collect_guard_stream_detect(spark, tmp_path, monkeypatch):
         raise AssertionError("stream should have failed on the guard")
 
 
+def test_at_stateful_plan_shape(spark):
+    """Plan-shape regression (PLANS.md round 3): the stateful @
+    strategy must evaluate the pair-refine stage ONCE — exactly two
+    MapInPandas stages (candidate refine + trigger fold) and one
+    device_id repartition. A third MapInPandas means a diamond over
+    row_matches re-evaluating the k-ring join (measured ~35% slower)."""
+    rule = (
+        "device :radius 400m intersects devices(@)"
+        " { :center 42.93 -72.27 :radius 50km :trigger once }"
+    )
+    eng = Engine()
+    eng.add_rule(rule, rule_id=RID)
+    points = spark.createDataFrame(_mk_points(n=20))
+    devices_df = spark.createDataFrame(pd.DataFrame(_mk_snapshot(m=5)))
+    out = detect_batch_spark(points, eng, devices_df=devices_df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 2, plan
+    assert "hashpartitioning(device_id" in plan, plan
+
+
 def test_at_stateful_random_worlds(spark):
     """Randomized stateful fuzz: random verbs/buffers/snapshots ×
     random trigger props, multi-partition with tiny Arrow batches —
