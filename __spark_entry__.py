@@ -52,6 +52,8 @@ _PROMOTE = [
     "corpus_rollup",
     "corpus_filter_funnel",
     "detect_devices_at_stateful",
+    "media_frame_rollup",
+    "media_resize_stats",
 ]
 _ALL = {
     **{k: _ALL[k] for k in _PROMOTE if k in _ALL},

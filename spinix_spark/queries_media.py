@@ -28,6 +28,61 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "kind", "n_bytes").orderBy("media_id")
 
 
+def media_frame_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the 1→N-explode mapInPandas stage
+    (multimodal.sample_frames, fake decoder): per media, the frame
+    count, timestamp sum and total frame bytes. Frame payloads are
+    20-byte sha1 digests, so the byte totals are value-checkable in
+    plain SQL while the content hashes stay pytest-pinned."""
+    from spinix_spark.multimodal import media_from_documents, sample_frames
+
+    load_tables(spark, sf_dir, ["documents"])
+    media = media_from_documents(spark.table("documents"))
+    frames = sample_frames(media, n_frames=4, fake=True)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.sum("ts_ms").alias("ts_ms_sum"),
+            F.sum(F.octet_length("frame")).alias("frame_bytes"),
+        )
+        .orderBy("media_id")
+    )
+
+
+MEDIA_FRAME_ROLLUP_ORACLE = (
+    "SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id, "
+    "CAST(4 AS BIGINT) AS n_frames, CAST(6000 AS BIGINT) AS ts_ms_sum, "
+    "CAST(80 AS BIGINT) AS frame_bytes "
+    "FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id"
+)
+
+
+def media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing (multimodal.resize_images, fake path):
+    kind routing (images only), target dims, and the deterministic
+    output payload size ('resized:64x64:' tag + 20-byte digest)."""
+    from spinix_spark.multimodal import media_from_documents, resize_images
+
+    load_tables(spark, sf_dir, ["documents"])
+    media = media_from_documents(spark.table("documents"))
+    resized = resize_images(media, 64, 64, fake=True)
+    return resized.select(
+        "media_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+    ).orderBy("media_id")
+
+
+MEDIA_RESIZE_ORACLE = (
+    "SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id, "
+    "CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height, "
+    f"CAST({len('resized:64x64:') + 20} AS BIGINT) AS n_bytes "
+    "FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id"
+)
+
+
 MEDIA_FEATURES_ORACLE = (
     "SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id, "
     "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
@@ -86,6 +141,8 @@ def _shared(sql: str):
 
 MEDIA_QUERIES: dict[str, tuple] = {
     "media_features": (media_features, MEDIA_FEATURES_ORACLE),
+    "media_frame_rollup": (media_frame_rollup, MEDIA_FRAME_ROLLUP_ORACLE),
+    "media_resize_stats": (media_resize_stats, MEDIA_RESIZE_ORACLE),
     "token_topk": (
         _shared(Q_TOKEN_TOPK_SPARK)[0],
         Q_TOKEN_TOPK_DUCK,
