@@ -235,6 +235,83 @@ Q_IVF_TOPK_DUCK = (
 )
 
 
+# --- IVF quantizer training (distributed Lloyd iterations) ----------------
+# The gate queries above verify the partition/probe mechanics with
+# FIXED centroids (the oracle SQL must be static — it cannot embed
+# data-dependent trained values). Training itself is this distributed
+# operator, pytest-verified against a NumPy replica of the identical
+# algorithm and against Lloyd's monotonicity guarantee
+# (tests/test_ann_train.py). Standard L2 k-means: assignment is
+# argmin squared distance, expressed as argmax of (x·c − ‖c‖²/2) so
+# the scan reuses the same JVM-side dot-fold as the probe queries.
+# Everything fact-sized stays in DataFrames; only the NLIST×DIM
+# centroid matrix (dimension-sized) touches the driver per iteration —
+# exactly how an IVF coarse quantizer trains at 100 TB (assign: one
+# scan; update: one groupBy shuffle).
+
+
+def _l2_cell_expr_for(cents: list[list[float]], vec_col: str) -> str:
+    """argmin-L2 cell as argmax over adjusted dots (first-max
+    tie-break): ‖x−c‖² = ‖x‖² − 2(x·c − ‖c‖²/2)."""
+    adj = ", ".join(
+        f"({_spark_dot(vec_col, _spark_arr(c))} - CAST({_dot_py(c, c) / 2.0!r} AS DOUBLE))"
+        for c in cents
+    )
+    return f"array_position(array({adj}), array_max(array({adj})))"
+
+
+def ivf_train(
+    embeddings: DataFrame, nlist: int = NLIST, iters: int = 3
+) -> list[list[float]]:
+    """Train IVF coarse centroids by Lloyd iterations over the full
+    (distributed) embeddings table.
+
+    Init: the ``nlist`` lowest vec_ids' vectors (deterministic).
+    Assign: nearest centroid by L2 (adjusted-dot argmax, whole-stage
+    codegen). Update: per-(cell, dim) mean via posexplode + one
+    groupBy shuffle; empty cells keep their previous centroid."""
+    from pyspark.sql import functions as F
+
+    init = embeddings.orderBy("vec_id").limit(nlist).collect()
+    cents = [[float(x) for x in r.embedding] for r in init]
+    for _ in range(iters):
+        assigned = embeddings.selectExpr(
+            f"CAST({_l2_cell_expr_for(cents, 'embedding')} AS INT) AS cell",
+            "embedding",
+        )
+        rows = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(int(r.cell) - 1, {})[int(r.pos)] = float(r.m)
+        for k, dims in by_cell.items():
+            new[k] = [dims[i] for i in range(len(cents[k]))]
+        cents = new
+    return cents
+
+
+def ivf_sq_dist_objective(embeddings: DataFrame, cents: list[list[float]]) -> float:
+    """k-means objective: mean over the table of the squared distance
+    to the nearest centroid — non-increasing under Lloyd iterations."""
+    adj = ", ".join(
+        f"({_spark_dot('embedding', _spark_arr(c))} - CAST({_dot_py(c, c) / 2.0!r} AS DOUBLE))"
+        for c in cents
+    )
+    sq_norm = (
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), "
+        "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+    )
+    row = embeddings.selectExpr(
+        f"avg({sq_norm} - 2 * array_max(array({adj}))) AS obj"
+    ).collect()[0]
+    return float(row.obj)
+
+
 ANN_QUERIES: dict[str, tuple] = {
     "ann_brute_topk": _mk(Q_TOPK_SPARK, Q_TOPK_DUCK),
     "ann_lsh_bucket": _mk(Q_LSH_SPARK, Q_LSH_DUCK),

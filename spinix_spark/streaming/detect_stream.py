@@ -119,6 +119,23 @@ def _latest_version(
     return v, spark.read.parquet(os.path.join(base, f"v{v}"))
 
 
+def _prune_versions(work_dir: str, table: str, keep_from: int) -> None:
+    """Delete snapshot/state versions below ``keep_from`` — without
+    retention the per-batch versioned tables grow with stream lifetime
+    (each version is a full snapshot). Runs AFTER the batch's writes,
+    so the version a concurrent replay could still need is governed by
+    the caller's retain window, never the one just read."""
+    import os
+    import shutil
+
+    base = os.path.join(work_dir, table)
+    if not os.path.isdir(base):
+        return
+    for d in os.listdir(base):
+        if d.startswith("v") and int(d[1:]) < keep_from:
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
+
 def stream_detect_scalable(
     points_stream: DataFrame,
     engine: Engine,
@@ -127,6 +144,7 @@ def stream_detect_scalable(
     checkpoint_dir: str | None = None,
     trigger_available_now: bool = True,
     at_salt: int = 0,
+    retain_versions: int = 2,
 ):
     """Fact-scale micro-batch detection: NOTHING fact-sized ever
     reaches the driver.
@@ -148,6 +166,14 @@ def stream_detect_scalable(
     with one shuffle (merge_state_df). The keyed
     applyInPandasWithState form (keyed_detect) remains for
     low-latency per-key streaming.
+
+    ``retain_versions`` bounds the on-disk history: after batch N's
+    writes, versions below N - retain_versions are deleted. The
+    replay-idempotency contract (read newest version strictly below
+    the replayed batch id) only ever needs the immediately-preceding
+    version, so the default of 2 keeps a safety margin while the table
+    footprint stays O(retain × snapshot) instead of O(stream lifetime).
+    Pass retain_versions=None to keep every version (debugging/audit).
     """
     from spinix_spark.engine.devices_at import (
         at_ineligible_reasons,
@@ -200,6 +226,9 @@ def stream_detect_scalable(
         new_snap.write.mode("overwrite").parquet(
             os.path.join(work_dir, "snapshot", f"v{batch_id}")
         )
+        if retain_versions is not None:
+            _prune_versions(work_dir, "snapshot", batch_id - retain_versions)
+            _prune_versions(work_dir, "state", batch_id - retain_versions)
 
     writer = points_stream.writeStream.foreachBatch(process).outputMode("append")
     if checkpoint_dir:

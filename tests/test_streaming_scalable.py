@@ -122,3 +122,43 @@ def test_stream_detect_scalable_trigger_state(spark, tmp_path):
     st = spark.read.parquet(str(tmp_path / "work" / "state" / "v1"))
     rows = {(r.device_id, r.rule_id): r.hits for r in st.collect()}
     assert len(rows) == 4 and all(h == 1 for h in rows.values())
+
+
+def test_stream_detect_scalable_version_retention(spark, tmp_path):
+    """retain_versions bounds the on-disk snapshot/state history while
+    each batch still evaluates against its predecessor (trigger state
+    stays continuous across the pruned horizon)."""
+    import os
+
+    src = str(tmp_path / "src")
+    n_batches = 5
+    for i in range(n_batches):
+        b = _batch(i, [42.93] * 4, [-72.27] * 4)
+        spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    engine = Engine()
+    engine.add_rule(
+        "status eq 1 { :center 42.93 -72.27 :radius 5km :trigger 2 times interval 0s }",
+        rule_id="r" + "2" * 19,
+    )
+    got = {}
+
+    def sink(events, batch_id):
+        got[batch_id] = events.count()
+
+    q = stream_detect_scalable(
+        stream, engine, sink,
+        work_dir=str(tmp_path / "work"), checkpoint_dir=str(tmp_path / "ckpt"),
+        retain_versions=2,
+    )
+    q.awaitTermination(240)
+    # trigger continuity: 2-times quota is spent in batches 0+1, then 0
+    assert [got[i] for i in range(n_batches)] == [4, 4, 0, 0, 0]
+    # retention: only the last 3 versions (N-2 .. N) survive
+    for table in ("snapshot", "state"):
+        versions = sorted(os.listdir(tmp_path / "work" / table))
+        assert versions == ["v2", "v3", "v4"], (table, versions)
