@@ -153,10 +153,6 @@ def rules_prune_expr(engine: Engine) -> str:
     return " OR ".join(parts) if parts else "false"
 
 
-def _has_stateful(engine: Engine) -> bool:
-    return any(r.spec.is_stateful for r in engine.rules.values())
-
-
 def _sql_rule_events(points: DataFrame, engine: Engine, rule, plan) -> DataFrame:
     """All-Catalyst event rows for one compiled-to-SQL rule: prune →
     predicate/fold/refs columns → per-node filtered projections,

@@ -175,6 +175,36 @@ def test_at_stateful_two_batch_state_carry(spark):
     )
 
 
+def test_at_stateful_empty_snapshot_consumes_trigger(spark):
+    """Batch-0 semantics in the batch API: with an EMPTY snapshot no
+    @ match exists, so no events — but the trigger still consumes on
+    every gated row (checkTrigger/changeState run before node
+    evaluation), so state rows emit with hits advanced, and a second
+    batch against a NOW-POPULATED snapshot stays suppressed."""
+    rule = (
+        "device :radius 400m intersects devices(@)"
+        " { :center 42.93 -72.27 :radius 50km :trigger once }"
+    )
+    eng = Engine()
+    eng.add_rule(rule, rule_id=RID)
+    pdf = _mk_points(n=18, n_dev=6)
+    points = spark.createDataFrame(pdf).repartition(3)
+    empty = spark.createDataFrame(
+        [], "device_id string, layer_id string, lat double, lon double, datetime long"
+    )
+    ev1, st1 = split_output(detect_batch_spark(points, eng, devices_df=empty))
+    st1 = st1.cache()
+    assert ev1.count() == 0
+    states = {r.device_id: r.hits for r in st1.collect()}
+    assert len(states) == 6 and all(h == 1 for h in states.values())
+
+    snap = spark.createDataFrame(pd.DataFrame(_mk_snapshot(m=20)))
+    ev2, _ = split_output(
+        detect_batch_spark(points, eng, devices_df=snap, state_df=st1)
+    )
+    assert ev2.count() == 0  # quota was consumed against the empty snapshot
+
+
 def test_at_kernel_fallback_guard(spark):
     """An @ rule OUTSIDE the pair-join shape (OR fold) with devices_df
     supplied and an EMPTY broadcast snapshot must raise, not silently
