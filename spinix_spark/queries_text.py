@@ -347,11 +347,13 @@ Q_JACCARD_LSH_DUCK = _jaccard_verify_sql(
 
 def spark_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster formation: connected components over the LSH
-    candidate graph by iterative min-label propagation — the classic
-    alternating-join CC (each iteration is one shuffle on the edge
-    key; label count shrinks monotonically, so convergence is bounded
-    by the component diameter, not the corpus size). Returns
-    (doc_id, cluster_id = min doc id reachable)."""
+    candidate graph via alternating Large-Star/Small-Star
+    (cc_two_phase) — O(log) rounds instead of O(component diameter),
+    so pathological near-duplicate chains converge at corpus scale.
+    Returns (doc_id, cluster_id = min doc id reachable); value-checked
+    against the recursive-CTE oracle by the gate. min_label_propagation
+    remains as the simpler diameter-bounded variant (cross-checked in
+    tests/test_cc_algorithms.py)."""
     from pyspark.sql import functions as F
 
     _cached_signatures(spark, sf_dir)
@@ -359,10 +361,83 @@ def spark_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark 4.x InlineCTE re-resolution bug, and the checkpoint also
     # truncates lineage for the iteration below
     edges = spark.sql(_lsh_pairs_from_salted("mh_sig"))
-    labels = min_label_propagation(edges)
+    labels = cc_two_phase(edges)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+def cc_two_phase(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """Connected components by alternating Large-Star / Small-Star
+    (the classic MapReduce CC construction — public algorithm, see
+    PAPERS.md): each round is two grouped aggregations + joins, and
+    the edge set converges to per-component stars centered at the
+    MINIMUM node id in O(log) rounds — vs O(component diameter) for
+    min-label propagation, which makes long near-duplicate chains
+    (diameter ≫ 20) feasible at corpus scale. Returns
+    (node, label = min id in component).
+
+    Large-Star(u): connect every strictly-larger neighbor of u to
+    m = min(Γ(u) ∪ {u}). Small-Star(u): orient edges toward the
+    smaller endpoint, connect every smaller neighbor (and u) to the
+    minimum. Fixpoint (star edge set stable under a round) is detected
+    with an order-independent signature; exhaustion raises loudly."""
+    from pyspark.sql import functions as F
+
+    cur = (
+        edges.selectExpr("a_id AS u", "b_id AS v")
+        .where("u <> v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    converged = False
+    for _ in range(max_rounds):
+        # LARGE-STAR over the symmetric closure
+        sym = cur.unionAll(cur.selectExpr("v AS u", "u AS v"))
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+        mins = mins.withColumn("m", F.least("_mn", F.col("u"))).drop("_mn")
+        large = (
+            sym.join(mins, "u")
+            .where("v > u")
+            .selectExpr("v AS u", "m AS v")
+            .where("u <> v")
+        )
+        # SMALL-STAR on edges oriented toward the smaller endpoint
+        o = large.selectExpr(
+            "greatest(u, v) AS u", "least(u, v) AS v"
+        ).where("u <> v")
+        m2 = o.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            o.join(m2, "u")
+            .where("v <> m")
+            .selectExpr("v AS u", "m AS v")
+            .unionAll(m2.selectExpr("u", "m AS v"))
+            .where("u <> v")
+            .distinct()
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+        cur = small
+        # order-independent set signature (bit_xor won't overflow ANSI
+        # long arithmetic the way sum(xxhash64) does)
+        row = cur.selectExpr(
+            "count(*) AS c", "bit_xor(xxhash64(u, v)) AS s"
+        ).collect()[0]
+        sig = (row.c, row.s)
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"cc_two_phase did not reach a fixpoint in {max_rounds} rounds"
+        )
+    # fixpoint: every edge is (node, component-min); roots label themselves
+    return (
+        cur.selectExpr("u AS node", "v AS label")
+        .unionAll(cur.selectExpr("v AS node", "v AS label"))
+        .distinct()
+    )
 
 
 def min_label_propagation(
