@@ -617,6 +617,13 @@ def detect_batch_spark(
     All strategies produce identical rows (cross-path parity tested);
     ``prefer_sql=False`` forces the kernel path for 2/3.
 
+    State carry between batches: ``state_df`` is the FACT-SCALE form
+    (prior states ride the device_id shuffle as a co-partitioned
+    join). The ``state_rows`` list is the dimension-scale convenience
+    (it broadcasts from, and merges back on, the driver — bounded by
+    touched (device, rule) keys, fine for small jobs, wrong at a huge
+    device universe); prefer ``state_df`` + :func:`merge_state_df`.
+
     When ``devices_df`` is given but an @ rule falls OUTSIDE the
     pair-join shape, the kernel fallback would evaluate @ against the
     broadcast snapshot; if that snapshot is EMPTY the rule would
