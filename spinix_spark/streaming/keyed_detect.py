@@ -160,7 +160,30 @@ def make_keyed_detect_fn(payload_broadcast):
 def keyed_stream_detect(points_stream: DataFrame, engine: Engine) -> DataFrame:
     """points stream → per-device keyed detection with store-backed
     trigger state. Returns the streaming events DataFrame; attach a
-    writeStream sink + checkpointLocation to run."""
+    writeStream sink + checkpointLocation to run.
+
+    Raises on rules with device-vs-device nodes: a keyed stream cannot
+    see other keys, so the per-key evaluation runs against an EMPTY
+    device snapshot — ``devices(...)`` verbs would silently match
+    nothing (and even constant candidates would be stale, since their
+    positions update under other keys). Those rules route through
+    stream_detect_scalable (pair-join @ strategy) instead."""
+    from spinix_spark.dsl.compiler import (
+        EqualDevicesOp,
+        SpDDevicesOp,
+        SpDevicesOp,
+    )
+
+    for r in engine.rules.values():
+        for n in r.spec.nodes:
+            if isinstance(n, (SpDevicesOp, SpDDevicesOp, EqualDevicesOp)):
+                raise ValueError(
+                    f"rule {r.rule_id}: device-vs-device nodes "
+                    f"({type(n).__name__}) are outside keyed_stream_detect's "
+                    "scope (per-key evaluation has no cross-device snapshot "
+                    "— the verb would silently match nothing); use "
+                    "stream_detect_scalable"
+                )
     sc = points_stream.sparkSession.sparkContext
     payload = {
         "zones": engine.zones,

@@ -66,3 +66,24 @@ def test_keyed_stream_detect_trigger_once(spark, tmp_path):
     assert len(rows) == 1  # trigger-once suppressed updates 2 and 3
     assert rows[0].device_id == K0 and rows[0].right_refs == [AULG]
     assert rows[0].datetime == 1000  # the first (event-time ordered) update
+
+
+def test_keyed_stream_rejects_device_vs_device(spark):
+    """The keyed form has no cross-device snapshot: devices(...) verbs
+    must raise loudly instead of silently matching nothing."""
+    import pytest
+
+    from spinix_spark.engine.detect import Engine
+    from spinix_spark.streaming.keyed_detect import keyed_stream_detect
+
+    eng = Engine()
+    eng.add_rule(
+        "device :radius 300m intersects devices(@)"
+        " { :center 42.92 -72.27 :radius 50km }",
+        rule_id="r" + "9" * 19,
+    )
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    with pytest.raises(ValueError, match="stream_detect_scalable"):
+        keyed_stream_detect(stream, eng)
