@@ -30,20 +30,21 @@ def geoparse_points(pages: DataFrame) -> DataFrame:
     speed, status, text (byte-identical passthrough). Rows without a
     coordinate pair are dropped (filter pushes to the scan).
 
-    Non-matching rows yield '' from regexp_extract; the empty-string
-    guard keeps the double casts NULL there (ANSI mode rejects
-    CAST('' AS DOUBLE) — regression-tested). NOTE: a single group-0
-    extraction + split was measured 3× SLOWER than two group
-    extractions — Catalyst does not common-subexpression the repeated
-    regex across derived columns, so the split form re-ran the pattern
-    per column; keep one regexp_extract per output column.
+    Regex-execution discipline (each form measured, PLANS.md): exactly
+    ONE regexp_extract per output column and NO conditional guard
+    around it — Catalyst neither common-subexpressions the same
+    pattern across derived columns (a group-0-extract + split form ran
+    it per column, 3× slower) nor inside conditional branches (a
+    ``when(x != '', x)`` null guard re-ran it per reference, ~1.4×
+    pipeline slowdown at 12M pages). ``try_cast`` provides the
+    null-safety in the same single evaluation: non-matching rows yield
+    '' from regexp_extract, which try_cast maps to NULL (ANSI CAST
+    would throw — regression-tested).
     """
-    lat_s = F.regexp_extract("text", COORD_RE, 1)
-    lon_s = F.regexp_extract("text", COORD_RE, 2)
-    lat = F.when(lat_s != "", lat_s).cast("double")
-    lon = F.when(lon_s != "", lon_s).cast("double")
+    lat = F.regexp_extract("text", COORD_RE, 1).try_cast("double")
+    lon = F.regexp_extract("text", COORD_RE, 2).try_cast("double")
     device_id = F.regexp_extract("url", r"https?://[^/]+/([0-9a-v]{20})/", 1)
-    speed = F.regexp_extract("text", SPEED_RE, 1)
+    speed = F.regexp_extract("text", SPEED_RE, 1).try_cast("double")
     return (
         pages.select(
             "url",
@@ -52,7 +53,7 @@ def geoparse_points(pages: DataFrame) -> DataFrame:
             lat.alias("lat"),
             lon.alias("lon"),
             F.unix_timestamp("warc_ts").alias("datetime"),
-            F.when(speed == "", None).otherwise(speed).cast("double").alias("speed"),
+            speed.alias("speed"),
             F.lit(0).cast("int").alias("status"),
             "text",
         )
