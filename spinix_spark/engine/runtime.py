@@ -155,12 +155,20 @@ class DeviceBatch:
         if name == "status":
             return self.status.astype(np.float64)
         if name in self.pdf:
-            return self.pdf[name].to_numpy(dtype=np.float64)
+            # zero-fill nulls: the reference's device attributes are Go
+            # value types (missing = zero value); this also matches the
+            # SQL path's coalesce(col, 0.0)
+            arr = self.pdf[name].to_numpy(dtype=np.float64)
+            arr[np.isnan(arr)] = 0.0
+            return arr
         return np.zeros(self.n, dtype=np.float64)
 
     def str_col(self, name: str) -> np.ndarray:
         if name in self.pdf:
-            return self.pdf[name].astype(str).to_numpy(dtype=object)
+            # zero-fill nulls BEFORE astype(str) — astype alone renders
+            # None as 'None'; the reference's zero value (and the SQL
+            # path's coalesce(col, '')) is the empty string
+            return self.pdf[name].fillna("").astype(str).to_numpy(dtype=object)
         return np.full(self.n, "", dtype=object)
 
     def ts(self) -> pd.DatetimeIndex:

@@ -671,7 +671,11 @@ def detect_batch_spark(
                 if ev is not None:
                     at_outs.append(ev)
                     continue
-        plan = try_compile_rule_sql(engine, r) if prefer_sql else None
+        plan = (
+            try_compile_rule_sql(engine, r, columns=points.columns)
+            if prefer_sql
+            else None
+        )
         if plan is not None:
             sql_planned.append((r, plan))
             if synth_triggerless_states and r.spec.is_stateful:

@@ -148,7 +148,14 @@ def _float_sql(kw: Token, columns: set[str]) -> str | None:
         return "CAST(status AS DOUBLE)" if "status" in columns else "CAST(0 AS DOUBLE)"
     col = _FLOAT_COLS.get(kw)
     if col is not None:
-        return f"CAST(coalesce({col}, 0.0) AS DOUBLE)" if col in columns else "CAST(0.0 AS DOUBLE)"
+        # zero-value semantics for BOTH null and NaN (a pandas/Arrow
+        # NaN is a DOUBLE NaN, not NULL — coalesce alone passes it
+        # through, and ANSI CAST(NaN AS BIGINT) throws on the int view)
+        return (
+            f"nanvl(CAST(coalesce({col}, 0.0) AS DOUBLE), CAST(0.0 AS DOUBLE))"
+            if col in columns
+            else "CAST(0.0 AS DOUBLE)"
+        )
     expr = _DATE_FLOAT.get(kw)
     if expr is not None:
         return expr if "datetime" in columns else None
@@ -737,9 +744,16 @@ class RuleSQLPlan:
     prep: list[tuple[str, str]] = field(default_factory=list)
 
 
-def try_compile_rule_sql(engine, rule) -> RuleSQLPlan | None:
+def try_compile_rule_sql(engine, rule, columns=None) -> RuleSQLPlan | None:
     """Compile a rule to pure Catalyst expressions, or None if any
-    part needs the kernel path."""
+    part needs the kernel path.
+
+    ``columns`` is the points schema the plan will run against (pass
+    ``set(points.columns)``); attribute nodes on columns that exist
+    compile to plain comparisons with zero-value null semantics
+    (coalesce — matching the kernel and the reference's Go value
+    types), nodes on ABSENT columns compile against the zero value
+    itself. Defaults to the minimal schema every caller guarantees."""
     spec: CompiledSpec = rule.spec
     # any {...} props block marks a spec stateful (reference parity),
     # but without a :trigger the gate is constant-true and state rows
@@ -747,10 +761,13 @@ def try_compile_rule_sql(engine, rule) -> RuleSQLPlan | None:
     # path. Rules with just :center/:radius compile fine.
     if spec.props.repeat != ast.REPEAT_NONE:
         return None
-    columns = {
-        "url", "device_id", "layer_id", "lat", "lon", "datetime",
-        "speed", "status",
-    }
+    if columns is None:
+        columns = {
+            "url", "device_id", "layer_id", "lat", "lon", "datetime",
+            "speed", "status",
+        }
+    else:
+        columns = set(columns)
     nodes: list[NodeSQL] = []
     for node in spec.nodes:
         ns = compile_node_sql(node, engine, spec.props, columns)

@@ -82,3 +82,56 @@ def test_sql_attr_rule_matches_kernel(spark, spec):
     assert _key([r.asDict() for r in ev_sql.collect()]) == _key(
         [r.asDict() for r in ev_k.collect()]
     ), spec
+
+
+def test_string_attr_rules_compile_with_real_schema(spark):
+    """Rules on model/brand/owner/imei compile to Catalyst when the
+    points schema carries those columns (round 3: the compiler takes
+    the real schema instead of a fixed minimal set), and the SQL path
+    equals the kernel path INCLUDING null attributes (both render the
+    reference's zero value — empty string / 0.0)."""
+    import pandas as pd
+
+    from spinix_spark.engine.detect import Engine
+    from spinix_spark.engine.spark_pipeline import detect_batch_spark, split_output
+    from spinix_spark.engine.sql_compile import try_compile_rule_sql
+
+    n = 24
+    pdf = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(n)],
+            "device_id": [f"d{i % 4:019d}" for i in range(n)],
+            "layer_id": ["0" * 20] * n,
+            "lat": [42.92] * n,
+            "lon": [-72.27] * n,
+            "datetime": [1700000000 + i for i in range(n)],
+            "speed": [float(i) if i % 5 else None for i in range(n)],
+            "status": [1] * n,
+            "model": [None if i % 3 == 0 else f"m{i % 2}" for i in range(n)],
+            "brand": ["acme" if i % 2 else None for i in range(n)],
+        }
+    )
+    points = spark.createDataFrame(pdf).repartition(3)
+    rules = [
+        'model eq "m1" { :center 42.92 -72.27 :radius 5km }',
+        'brand in ["acme", "other"] { :center 42.92 -72.27 :radius 5km }',
+        # null model renders as '' (zero value) on BOTH paths
+        'model eq "" { :center 42.92 -72.27 :radius 5km }',
+        "speed gte 0 and speed lt 1 { :center 42.92 -72.27 :radius 5km }",
+    ]
+
+    def canon(ev):
+        return sorted((r.url, r.rule_id, r.op) for r in ev.collect())
+
+    for rule in rules:
+        eng = Engine()
+        eng.add_rule(rule, rule_id="r" + "3" * 19)
+        assert (
+            try_compile_rule_sql(eng, eng.rules["r" + "3" * 19], columns=points.columns)
+            is not None
+        ), rule
+        ev_sql, _ = split_output(detect_batch_spark(points, eng, prefer_sql=True))
+        ev_k, _ = split_output(detect_batch_spark(points, eng, prefer_sql=False))
+        a, b = canon(ev_sql), canon(ev_k)
+        assert a == b, f"{rule}: sql={len(a)} kernel={len(b)}"
+        assert len(a) > 0, rule
