@@ -319,6 +319,73 @@ def run_e2e_pipeline(spark, n_pages: int) -> dict:
     }
 
 
+def run_e2e_neardup(spark, n_pages: int) -> dict:
+    """The near-dup REMOVAL lineage composed end to end — the most
+    common real LLM-pipeline shape: pages → quality funnel → minhash
+    LSH candidate pairs → Large-Star/Small-Star duplicate clusters →
+    keep-longest canonical per cluster → filtered corpus → geoparse →
+    detect → tile rollup, as ONE lineage. Differs from
+    run_e2e_pipeline's exact-fingerprint dedup stage by running the
+    full approximate pipeline (shingles, signatures, salted band join,
+    CC iterations) at fact scale."""
+    from pyspark.sql import functions as F
+
+    from spinix_spark.engine.detect import Engine
+    from spinix_spark.engine.spark_pipeline import detect_batch_spark, split_output
+    from spinix_spark.engine.stores import zone_from_ring
+    from spinix_spark.engine.tiles import point_density_raster
+    from spinix_spark.geo.cells import DEFAULT_SCHEME
+    from spinix_spark.geo.rings import circle_ring
+    from spinix_spark.io.geoparse import cell_column, geoparse_points
+    from spinix_spark.io.pages import BASE_LAT, BASE_LON, synthesize_pages
+    from spinix_spark.queries_text import neardup_drop_ids
+
+    pages = synthesize_pages(spark, n_pages)
+    funneled = pages.where(
+        (F.col("lang") == "en") & (F.length("text") >= 30)
+    ).withColumn("doc_id", F.xxhash64("url"))
+    corpus = funneled.withColumn("n_chars", F.length("text"))
+    drop = neardup_drop_ids(corpus)
+    clean = corpus.join(drop, "doc_id", "left_anti")
+    points = (
+        geoparse_points(clean.drop("doc_id", "n_chars"))
+        .drop("text")
+        .withColumn("cell", cell_column(DEFAULT_SCHEME))
+        .persist()
+    )
+    n_clean = points.count()
+    engine = Engine()
+    engine.zones.add(
+        zone_from_ring(
+            "c5vj26evvhfjvfseaulg", circle_ring(BASE_LAT, BASE_LON, 900.0, 6)
+        )
+    )
+    engine.add_rule(
+        "device :radius 300m INTERSECTS polygon(c5vj26evvhfjvfseaulg)"
+        " and speed range [30 .. 170]",
+        rule_id="r" + "8" * 19,
+    )
+    events, _ = split_output(detect_batch_spark(points, engine))
+    n_ev = events.count()
+    n_tiles = point_density_raster(points).count()
+    points.unpersist()
+    return {
+        "n_neardup_dropped": int(n_pages - n_clean),
+        "n_neardup_clean": int(n_clean),
+        "n_neardup_events": int(n_ev),
+        "n_neardup_tiles": int(n_tiles),
+    }
+
+
+def run_ann_recall(spark, sf_dir: str) -> dict:
+    """IVF recall@10 vs brute-force ground truth for NPROBE ∈
+    {1, 2, 4} over the quantizer trained by ivf_train — the
+    recall/latency tuning curve of the 100 TB deployment."""
+    from spinix_spark.queries_ann import ann_recall_stats
+
+    return ann_recall_stats(spark, sf_dir)
+
+
 def run_hot_cell_pairs(spark, n_pages: int) -> dict:
     """Hot-cell radius self-join: the synthetic pages put ~10% of all
     points into ONE grid cell; the two-level salted pair join
@@ -395,6 +462,20 @@ def main() -> None:
     t0 = time.time()
     pipe_stats.update(run_e2e_pipeline(spark, n_pages))
     queries["e2e_pipeline"] = round(time.time() - t0, 3)
+
+    # composed NEAR-DUP REMOVAL lineage (minhash → star-edge LSH →
+    # CC clusters → keep-longest → filtered corpus → detect → tiles)
+    # at the full fact scale — no cap
+    t0 = time.time()
+    pipe_stats.update(run_e2e_neardup(spark, n_pages))
+    queries["e2e_neardup"] = round(time.time() - t0, 3)
+
+    # ANN quality: recall@10 of IVF probe vs brute-force ground truth
+    # for NPROBE ∈ {1, 2, 4} over the trained quantizer — at 100 TB
+    # NPROBE is tuned by recall, not by matching a fixed oracle
+    t0 = time.time()
+    pipe_stats.update(run_ann_recall(spark, sf_dir))
+    queries["ann_recall"] = round(time.time() - t0, 3)
 
     hw_after = hw_capacity_probe()
     total = round(sum(queries.values()), 3)

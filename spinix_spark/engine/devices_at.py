@@ -101,6 +101,48 @@ def devices_at_node(rule, allow_stateful: bool = False) -> SpDevicesOp | None:
     return node
 
 
+def empty_snapshot_ref_reasons(engine) -> list[str]:
+    """Rules whose explicit device refs would silently resolve to
+    nothing because engine.devices is empty — one reason per rule,
+    empty when the snapshot is populated or no rule uses refs.
+
+    Explicit device refs (``devices(d1 d2)``, ``devices(A)`` vs
+    ``devices(B)``, distance-to-device comparators) resolve positions
+    from engine.devices AT COMPILE TIME
+    (sql_compile._candidate_device_pred / EqualDevicesOp lookups),
+    silently skipping missing refs (kernel parity with the reference's
+    lookup behavior, runtime.go:1444-1712) — so against an EMPTY
+    snapshot every such node compiles to ``false`` and the rule emits
+    zero events with no error. Refs are dimension-sized by
+    construction (named ids in the DSL text), so the fix at fact scale
+    is to register exactly those devices in engine.devices, not to
+    skip the check. Fact-scale entry points (detect_batch_spark with
+    devices_df, stream_detect_scalable) refuse loudly on these."""
+    from spinix_spark.dsl.compiler import EqualDevicesOp, SpDDevicesOp
+
+    if len(engine.devices) != 0:
+        return []
+    reasons = []
+    for r in engine.rules.values():
+        ref_nodes = sorted(
+            {
+                type(n).__name__
+                for n in r.spec.nodes
+                if (isinstance(n, SpDevicesOp) and n.right.refs)
+                or isinstance(n, (SpDDevicesOp, EqualDevicesOp))
+            }
+        )
+        if ref_nodes:
+            reasons.append(
+                f"rule {r.rule_id}: {'/'.join(ref_nodes)} resolves "
+                "explicit device ref(s) from engine.devices, which is "
+                "EMPTY — the rule would silently match nothing; "
+                "register the referenced devices (dimension-sized) in "
+                "engine.devices"
+            )
+    return reasons
+
+
 def at_ineligible_reasons(engine, columns) -> list[str]:
     """Why each registered devices(@) rule would FAIL the pair-join
     strategy and fall back to the broadcast-kernel path — one reason
@@ -117,8 +159,12 @@ def at_ineligible_reasons(engine, columns) -> list[str]:
     from spinix_spark.engine.sql_compile import compile_node_sql
 
     cols = set(columns)
-    reasons = []
+    ref_reasons = empty_snapshot_ref_reasons(engine)
+    flagged = {s.split(":", 1)[0] for s in ref_reasons}
+    reasons = list(ref_reasons)
     for r in engine.rules.values():
+        if f"rule {r.rule_id}" in flagged:
+            continue
         has_at = any(
             isinstance(n, SpDevicesOp) and n.right.all and not n.right.refs
             for n in r.spec.nodes

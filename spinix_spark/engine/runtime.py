@@ -157,10 +157,16 @@ class DeviceBatch:
         if name in self.pdf:
             # zero-fill nulls: the reference's device attributes are Go
             # value types (missing = zero value); this also matches the
-            # SQL path's coalesce(col, 0.0)
-            arr = self.pdf[name].to_numpy(dtype=np.float64)
-            arr[np.isnan(arr)] = 0.0
-            return arr
+            # SQL path's coalesce(col, 0.0). nan_to_num COPIES —
+            # to_numpy may return a view of the backing pandas block,
+            # and an in-place fill would mutate batch.pdf for every
+            # other reader of the column.
+            return np.nan_to_num(
+                self.pdf[name].to_numpy(dtype=np.float64),
+                nan=0.0,
+                posinf=np.inf,  # only NaN is "missing"; keep ±inf as-is
+                neginf=-np.inf,
+            )
         return np.zeros(self.n, dtype=np.float64)
 
     def str_col(self, name: str) -> np.ndarray:

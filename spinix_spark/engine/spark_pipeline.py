@@ -641,8 +641,23 @@ def detect_batch_spark(
     """
     from spinix_spark.dsl import ast_nodes as ast
     from spinix_spark.dsl.compiler import SpDevicesOp
-    from spinix_spark.engine.devices_at import devices_at_node
+    from spinix_spark.engine.devices_at import (
+        devices_at_node,
+        empty_snapshot_ref_reasons,
+    )
     from spinix_spark.engine.sql_compile import try_compile_rule_sql
+
+    if devices_df is not None:
+        # devices_df signals a fact-scale caller whose device universe
+        # lives in the DataFrame — but explicit device refs still
+        # resolve from engine.devices at compile time; empty means the
+        # rule silently compiles to `false`. Refuse loudly instead.
+        ref_reasons = empty_snapshot_ref_reasons(engine)
+        if ref_reasons:
+            raise ValueError(
+                "detect_batch_spark(devices_df=...): "
+                + "; ".join(ref_reasons)
+            )
 
     sql_planned = []
     kernel_rules = []

@@ -312,6 +312,93 @@ def ivf_sq_dist_objective(embeddings: DataFrame, cents: list[list[float]]) -> fl
     return float(row.obj)
 
 
+def ann_recall_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    n_queries: int = 20,
+    topk: int = TOPK,
+    iters: int = 3,
+) -> dict:
+    """Recall@k of IVF probe search vs brute-force ground truth over
+    the TRAINED quantizer (ivf_train), for several NPROBE settings —
+    the tuning measurement a 100 TB deployment actually uses: NPROBE
+    is chosen from a recall/latency curve, not from matching a fixed
+    oracle (the gate queries verify probe MECHANICS; this verifies
+    probe QUALITY).
+
+    Distributed shape: the query block (n_queries vectors,
+    dimension-sized) broadcasts against the assigned embeddings table;
+    ground truth is the exact per-query top-k from a full scan, the
+    IVF candidate set is the same scan restricted to each query's
+    NPROBE nearest cells (partition pruning at 100 TB when the table
+    is stored partitioned by ivf_cell). One scored pass is shared by
+    ground truth and every NPROBE variant."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    load_tables(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings")
+    cents = ivf_train(emb, NLIST, iters)
+    assigned = emb.selectExpr(
+        "vec_id",
+        "embedding",
+        f"CAST({_l2_cell_expr_for(cents, 'embedding')} AS INT) AS cell",
+    )
+
+    def cell_rank(qv: list[float]) -> list[int]:
+        adj = [_dot_py(qv, c) - _dot_py(c, c) / 2.0 for c in cents]
+        return [
+            i + 1
+            for i, _ in sorted(enumerate(adj), key=lambda t: (-t[1], t[0]))
+        ]
+
+    qrows = emb.orderBy("vec_id").limit(n_queries).collect()
+    qdf = spark.createDataFrame(
+        [
+            (int(r.vec_id), [float(x) for x in r.embedding],
+             cell_rank([float(x) for x in r.embedding]))
+            for r in qrows
+        ],
+        "q_id long, q_vec array<double>, cell_rank array<int>",
+    )
+    # per-(query, vector) score: dot/‖x‖ ranks identically to cosine
+    # for a fixed query (the query norm is a per-query constant)
+    score = (
+        "aggregate(zip_with(embedding, q_vec, "
+        "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
+        f"(acc, v) -> acc + v) / {_spark_norm('embedding')}"
+    )
+    scored = (
+        assigned.crossJoin(F.broadcast(qdf))
+        .selectExpr("q_id", "vec_id", "cell", "cell_rank", f"{score} AS s")
+        .cache()
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("s").desc(), F.col("vec_id"))
+    gt = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= topk)
+        .select("q_id", "vec_id")
+        .cache()
+    )
+    n_gt = gt.count()  # materialize both caches once
+    out: dict[str, float] = {}
+    for np_ in nprobes:
+        cand = scored.where(
+            F.array_contains(F.slice("cell_rank", 1, np_), F.col("cell"))
+        )
+        ivf = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= topk)
+            .select("q_id", "vec_id")
+        )
+        hits = ivf.join(gt, ["q_id", "vec_id"]).count()
+        out[f"recall{topk}_nprobe{np_}"] = round(hits / n_gt, 4)
+    scored.unpersist()
+    gt.unpersist()
+    return out
+
+
 ANN_QUERIES: dict[str, tuple] = {
     "ann_brute_topk": _mk(Q_TOPK_SPARK, Q_TOPK_DUCK),
     "ann_lsh_bucket": _mk(Q_LSH_SPARK, Q_LSH_DUCK),

@@ -115,7 +115,7 @@ _SPARK_SHINGLES = (
     "SELECT doc_id, sh FROM ("
     "SELECT doc_id, array_distinct(transform(sequence(0, size(ws) - {w}), "
     "i -> concat_ws(' ', {spark_elems}))) AS shs "
-    "FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents "
+    "FROM (SELECT doc_id, split(text, ' ') AS ws FROM {table} "
     "WHERE size(split(text, ' ')) >= {w} {extra}) t) s "
     "LATERAL VIEW explode(shs) es AS sh"
 ).format
@@ -124,7 +124,7 @@ _DUCK_SHINGLES = (
     "SELECT doc_id, unnest(list_distinct(list_transform("
     "generate_series(0, len(ws) - {w}), "
     "i -> {duck_elems}))) AS sh "
-    "FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents "
+    "FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM {table} "
     "WHERE len(string_split(text, ' ')) >= {w} {extra}) t"
 ).format
 
@@ -132,12 +132,12 @@ _SPARK_ELEMS = ", ".join(f"ws[i + {k}]" for k in range(SHINGLE_W))
 _DUCK_ELEMS = " || ' ' || ".join(f"ws[i + {k + 1}]" for k in range(SHINGLE_W))
 
 
-def spark_shingles(extra: str = "") -> str:
-    return _SPARK_SHINGLES(w=SHINGLE_W, spark_elems=_SPARK_ELEMS, extra=extra)
+def spark_shingles(extra: str = "", table: str = "documents") -> str:
+    return _SPARK_SHINGLES(w=SHINGLE_W, spark_elems=_SPARK_ELEMS, extra=extra, table=table)
 
 
-def duck_shingles(extra: str = "") -> str:
-    return _DUCK_SHINGLES(w=SHINGLE_W, duck_elems=_DUCK_ELEMS, extra=extra)
+def duck_shingles(extra: str = "", table: str = "documents") -> str:
+    return _DUCK_SHINGLES(w=SHINGLE_W, duck_elems=_DUCK_ELEMS, extra=extra, table=table)
 
 
 def _jaccard_sql(shingles_sql: str) -> str:
@@ -367,6 +367,166 @@ def spark_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def spark_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per duplicate cluster — the step
+    that turns cluster labels into an actionable keep/drop decision
+    for the corpus: keep the RICHEST member (max n_chars, min doc_id
+    tie-break: when near-duplicates differ, the longest version
+    usually carries the superset of content), drop the rest.
+
+    Chains the full near-dup lineage: cached shingles → minhash →
+    salted LSH band join → Large-Star/Small-Star connected components
+    → per-cluster window top-1. Returns (cluster_id, kept_doc_id,
+    kept_n_chars, n_members) per multi-member cluster; docs outside
+    any cluster are implicitly kept (singletons never enter the LSH
+    pair graph). At 100 TB every stage is a bounded shuffle: the
+    window partitions by cluster label (cluster sizes are near-dup
+    group sizes — small by construction after LSH thresholding)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    _cached_signatures(spark, sf_dir)
+    edges = spark.sql(_lsh_pairs_from_salted("mh_sig"))
+    labels = cc_two_phase(edges)
+    docs = spark.table("documents").select(
+        F.col("doc_id").alias("node"), "n_chars"
+    )
+    j = labels.join(docs, "node")
+    w = Window.partitionBy("label")
+    wo = Window.partitionBy("label").orderBy(
+        F.col("n_chars").desc(), F.col("node").asc()
+    )
+    return (
+        j.withColumn("n_members", F.count(F.lit(1)).over(w))
+        .withColumn("_rn", F.row_number().over(wo))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("label").alias("cluster_id"),
+            F.col("node").alias("kept_doc_id"),
+            F.col("n_chars").alias("kept_n_chars"),
+            "n_members",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _dedup_keep_list_oracle() -> str:
+    """Recursive-CTE clusters + window top-1 — the DuckDB value oracle
+    for :func:`spark_dedup_keep_list`."""
+    pairs = _lsh_pairs_sql(Q_MINHASH_DUCK)
+    return (
+        f"WITH RECURSIVE pairs AS ({pairs}), "
+        "und AS (SELECT a_id AS u, b_id AS v FROM pairs "
+        "UNION ALL SELECT b_id, a_id FROM pairs), "
+        "reach(u, v) AS (SELECT u, v FROM und "
+        "UNION SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u), "
+        "labels AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id "
+        "FROM reach GROUP BY u), "
+        "j AS (SELECT l.cluster_id, l.doc_id, d.n_chars FROM labels l "
+        "JOIN documents d ON d.doc_id = l.doc_id), "
+        "r AS (SELECT cluster_id, doc_id, n_chars, "
+        "ROW_NUMBER() OVER (PARTITION BY cluster_id "
+        "ORDER BY n_chars DESC, doc_id ASC) AS rn, "
+        "COUNT(*) OVER (PARTITION BY cluster_id) AS n_members FROM j) "
+        "SELECT cluster_id, doc_id AS kept_doc_id, "
+        "n_chars AS kept_n_chars, n_members "
+        "FROM r WHERE rn = 1 ORDER BY cluster_id"
+    )
+
+
+def dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL form of the near-dup lineage: the documents table
+    minus non-canonical duplicate-cluster members — i.e. an anti-join
+    of the corpus against (cluster members \\ keep list). This is the
+    DataFrame a downstream training-data pipeline consumes; used by
+    bench.py's composed e2e near-dup lineage."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    _cached_signatures(spark, sf_dir)
+    edges = spark.sql(_lsh_pairs_from_salted("mh_sig"))
+    labels = cc_two_phase(edges)
+    docs = spark.table("documents")
+    member = labels.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    wo = Window.partitionBy("label").orderBy(
+        F.col("n_chars").desc(), F.col("node").asc()
+    )
+    drop = (
+        member.withColumn("_rn", F.row_number().over(wo))
+        .where(F.col("_rn") > 1)
+        .select(F.col("node").alias("doc_id"))
+    )
+    return docs.join(drop, "doc_id", "left_anti")
+
+
+def _lsh_star_edges(mh_source: str) -> str:
+    """STAR edges per LSH band-bucket: every member connects to the
+    bucket's MINIMUM doc id — O(bucket size) edges instead of the
+    pairwise join's O(bucket size²), with IDENTICAL connected
+    components (a star spans exactly the same vertex set as the
+    clique). This is the edge construction the REMOVAL pipeline wants
+    at 100 TB: a hot bucket of H near-identical docs costs H rows
+    through a grouped MIN + one equi-join (AQE skew-splittable)
+    instead of H² join output. The pairwise form
+    (_lsh_pairs_from_salted) remains for queries whose OUTPUT is the
+    candidate-pair set itself (minhash_lsh_pairs, jaccard verify)."""
+    rows_per_band = N_HASHES // BANDS
+    bucket_cols = ", ".join(
+        f"CAST(MIN(CASE WHEN j % {rows_per_band} = {r} THEN mh END) AS STRING)"
+        for r in range(rows_per_band)
+    )
+    bk = (
+        f"SELECT doc_id, CAST(FLOOR(j / {float(rows_per_band)!r}) AS BIGINT) AS band, "
+        f"CONCAT_WS(',', {bucket_cols}) AS bucket FROM {mh_source} "
+        f"GROUP BY doc_id, CAST(FLOOR(j / {float(rows_per_band)!r}) AS BIGINT)"
+    )
+    return (
+        f"WITH bk AS ({bk}), "
+        "mn AS (SELECT band, bucket, MIN(doc_id) AS a_id FROM bk "
+        "GROUP BY band, bucket) "
+        "SELECT DISTINCT mn.a_id, bk.doc_id AS b_id FROM bk "
+        "JOIN mn ON bk.band = mn.band AND bk.bucket = mn.bucket "
+        "WHERE bk.doc_id <> mn.a_id"
+    )
+
+
+def neardup_drop_ids(corpus: DataFrame) -> DataFrame:
+    """DROP set — the doc_id of every NON-canonical duplicate-cluster
+    member — for an arbitrary corpus DataFrame with columns
+    (doc_id, text, n_chars): the reusable near-dup REMOVAL stage for
+    composed pipelines (bench.py's e2e near-dup lineage over
+    synthesized pages). Shingles → one-pass 16-MIN minhash → per-band
+    STAR edges (linear in bucket size, see :func:`_lsh_star_edges`) →
+    Large-Star/Small-Star connected components → keep the longest
+    member per cluster (max n_chars, min doc_id tie-break), drop the
+    rest. The minhash signature is cached only until cc_two_phase's
+    eager checkpoint materialises the edge set, then released."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    spark = corpus.sparkSession
+    corpus.select("doc_id", "text").createOrReplaceTempView("_nd_corpus")
+    sig = spark.sql(
+        _minhash_sql_wide(spark_shingles(table="_nd_corpus"), _SPARK_X)
+    ).cache()
+    sig.createOrReplaceTempView("_nd_sig")
+    labels = cc_two_phase(spark.sql(_lsh_star_edges("_nd_sig")))
+    sig.unpersist()  # labels are checkpoint-backed past the edge set
+    member = labels.join(
+        corpus.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    wo = Window.partitionBy("label").orderBy(
+        F.col("n_chars").desc(), F.col("node").asc()
+    )
+    return (
+        member.withColumn("_rn", F.row_number().over(wo))
+        .where(F.col("_rn") > 1)
+        .select(F.col("node").alias("doc_id"))
+    )
+
+
 def cc_two_phase(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     """Connected components by alternating Large-Star / Small-Star
     (the classic MapReduce CC construction — public algorithm, see
@@ -562,6 +722,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "ngram_jaccard_pairs": _split(Q_JACCARD_SPARK, Q_JACCARD_DUCK),
     "ngram_jaccard_lsh": (spark_jaccard_lsh, Q_JACCARD_LSH_DUCK),
     "dedup_clusters": (spark_dedup_clusters, _dedup_clusters_oracle()),
+    "dedup_keep_list": (spark_dedup_keep_list, _dedup_keep_list_oracle()),
     "minhash_signatures": _split(Q_MINHASH_SPARK, Q_MINHASH_DUCK),
     "minhash_lsh_pairs": (spark_lsh_pairs, Q_LSH_DUCK),
     "simhash": _split(Q_SIMHASH_SPARK, Q_SIMHASH_DUCK),

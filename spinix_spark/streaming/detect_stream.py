@@ -66,14 +66,18 @@ def stream_detect(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal state_rows
         batch_df = batch_df.cache()
-        n = batch_df.count()
+        # guard probe: limit(GUARD+1).count() short-circuits after
+        # GUARD+1 rows instead of counting the whole batch — the probe
+        # costs O(GUARD) regardless of batch size, and the cache it
+        # seeds is reused by the detect scan below (one full pass).
+        n = batch_df.limit(COLLECT_GUARD_ROWS + 1).count()
         if n > COLLECT_GUARD_ROWS:
             raise ValueError(
-                f"stream_detect micro-batch has {n} rows (> "
-                f"{COLLECT_GUARD_ROWS}): this demo form collects each "
-                "batch to the driver to advance the snapshot; use "
-                "stream_detect_scalable (parquet-versioned snapshot, no "
-                "driver collect) at this scale"
+                f"stream_detect micro-batch exceeds {COLLECT_GUARD_ROWS} "
+                "rows: this demo form collects each batch to the driver "
+                "to advance the snapshot; use stream_detect_scalable "
+                "(bucketed parquet snapshot, no driver collect) at this "
+                "scale"
             )
         out = detect_batch_spark(batch_df, engine, state_rows=state_rows)
         events, states = split_output(out)
@@ -94,46 +98,34 @@ def stream_detect(
     return writer.start()
 
 
-def _latest_version(
-    spark, work_dir: str, table: str, batch_id: int
-) -> tuple[int, DataFrame | None]:
-    """Latest persisted version STRICTLY BELOW batch_id. Versions are
-    keyed by batch_id, so on a checkpointed foreachBatch replay of
-    batch N (crash after the vN write) this re-reads the pre-N state —
-    the replay is idempotent instead of evaluating the batch against a
-    snapshot containing its own rows / already-advanced trigger
-    state."""
-    import os
+def _warn_triggerless_stateful(engine: Engine) -> None:
+    """Surface the documented fast-path divergence up front: a
+    trigger-less ``{...}`` props block is stateful (the reference
+    advances last_seen per gated row), but the SQL/pair-join fast
+    paths suppress those state rows unless
+    ``synth_triggerless_states=True`` — events are unaffected (the
+    gate is constant-true). Callers that read the STATE output of a
+    fast-path run for such rules would otherwise silently miss rows
+    depending on which physical strategy each rule took."""
+    import warnings
 
-    base = os.path.join(work_dir, table)
-    if not os.path.isdir(base):
-        return -1, None
-    versions = sorted(
-        v
-        for d in os.listdir(base)
-        if d.startswith("v") and (v := int(d[1:])) < batch_id
-    )
-    if not versions:
-        return -1, None
-    v = versions[-1]
-    return v, spark.read.parquet(os.path.join(base, f"v{v}"))
+    from spinix_spark.dsl import ast_nodes as ast
 
-
-def _prune_versions(work_dir: str, table: str, keep_from: int) -> None:
-    """Delete snapshot/state versions below ``keep_from`` — without
-    retention the per-batch versioned tables grow with stream lifetime
-    (each version is a full snapshot). Runs AFTER the batch's writes,
-    so the version a concurrent replay could still need is governed by
-    the caller's retain window, never the one just read."""
-    import os
-    import shutil
-
-    base = os.path.join(work_dir, table)
-    if not os.path.isdir(base):
-        return
-    for d in os.listdir(base):
-        if d.startswith("v") and int(d[1:]) < keep_from:
-            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    ids = [
+        r.rule_id
+        for r in engine.rules.values()
+        if r.spec.is_stateful and r.spec.props.repeat == ast.REPEAT_NONE
+    ]
+    if ids:
+        warnings.warn(
+            "trigger-less stateful rule(s) "
+            + ", ".join(ids)
+            + ": state rows are suppressed on the SQL/pair-join fast "
+            "paths (events unaffected); pass synth_triggerless_states="
+            "True to detect_batch_spark for exact kernel-parity state "
+            "output",
+            stacklevel=3,
+        )
 
 
 def stream_detect_scalable(
@@ -145,63 +137,79 @@ def stream_detect_scalable(
     trigger_available_now: bool = True,
     at_salt: int = 0,
     retain_versions: int = 2,
+    n_buckets: int = 256,
 ):
     """Fact-scale micro-batch detection: NOTHING fact-sized ever
-    reaches the driver.
+    reaches the driver, and per-batch state I/O is O(delta), not
+    O(device universe).
 
-    The device-position snapshot lives as a parquet table under
-    ``work_dir`` (latest position per device), versioned per
-    micro-batch: batch N is evaluated against version N-1 — the
-    reference's evaluate-then-insert ordering (engine.go:218-221) —
-    then ``snapshot_vN = latest(snapshot_v(N-1) ∪ batch)`` is written
-    with DataFrame ops only (window + filter, one shuffle on
-    device_id). ``devices(@)`` rules route through the pair-join
-    strategy (engine/devices_at.py) against that snapshot DataFrame;
-    zones/rules stay broadcast (dimension-sized).
+    The device-position snapshot lives as a hash-bucketed, per-bucket
+    versioned parquet table under ``work_dir`` (latest position per
+    device; :class:`~spinix_spark.streaming.state_table.
+    BucketedVersionTable`). Batch N is evaluated against the table as
+    of N-1 — the reference's evaluate-then-insert ordering
+    (engine.go:218-221) — then ONLY the buckets containing batch-N
+    devices are rewritten as ``latest(prior_bucket ∪ batch)`` (window
+    + filter, one shuffle on device_id). All filesystem metadata goes
+    through the Hadoop FileSystem API, so ``work_dir`` may be an
+    ``s3a://``/``gs://``/``hdfs://`` path. ``devices(@)`` rules route
+    through the pair-join strategy (engine/devices_at.py) against that
+    snapshot DataFrame; zones/rules stay broadcast (dimension-sized).
 
     Trigger state rides the same mechanism: per-(device, rule) trigger
-    states live in a second versioned parquet table and join the
-    shuffle co-partitioned with their rows
+    states live in a second bucketed table (bucketed on device_id) and
+    join the shuffle co-partitioned with their rows
     (detect_batch_spark(state_df=...)) — dirty emissions merge back
-    with one shuffle (merge_state_df). The keyed
-    applyInPandasWithState form (keyed_detect) remains for
+    into only their buckets (merge_state_df over the dirty subset).
+    The keyed applyInPandasWithState form (keyed_detect) remains for
     low-latency per-key streaming.
 
-    ``retain_versions`` bounds the on-disk history: after batch N's
-    writes, versions below N - retain_versions are deleted. The
+    ``retain_versions`` bounds the on-disk history PER BUCKET: each
+    bucket keeps its newest ``retain_versions + 1`` versions. The
     replay-idempotency contract (read newest version strictly below
-    the replayed batch id) only ever needs the immediately-preceding
-    version, so the default of 2 keeps a safety margin while the table
-    footprint stays O(retain × snapshot) instead of O(stream lifetime).
-    Pass retain_versions=None to keep every version (debugging/audit).
+    the replayed batch id, per bucket) only ever needs one predecessor,
+    so the default of 2 keeps a safety margin while the footprint stays
+    O(retain × table) instead of O(stream lifetime). Pass
+    retain_versions=None to keep every version (debugging/audit).
+    ``n_buckets`` is a layout constant for the stream's lifetime —
+    only non-empty buckets materialise, so the 256 default costs
+    nothing at small scale.
     """
     from spinix_spark.engine.devices_at import (
         at_ineligible_reasons,
         snapshot_df_from_points,
     )
     from spinix_spark.engine.spark_pipeline import merge_state_df
+    from spinix_spark.streaming.state_table import BucketedVersionTable
 
     # every @ rule must fit the pair-join strategy here (the kernel
     # fallback's broadcast snapshot is empty at fact scale — @ would
-    # silently evaluate false). The probe mirrors the ACTUAL routing:
-    # shape check + a Catalyst compile dry-run of the companion nodes.
+    # silently evaluate false), and every explicit device ref must
+    # resolve against a populated engine.devices. The probe mirrors
+    # the ACTUAL routing: shape check + a Catalyst compile dry-run.
     # Stateful @ rules are fine — they take _at_rule_events_stateful.
     reasons = at_ineligible_reasons(engine, points_stream.columns)
     if reasons:
         raise ValueError(
-            "stream_detect_scalable: devices(@) rule(s) would fall back "
-            "to the broadcast-kernel path, whose snapshot is empty at "
-            "fact scale: " + "; ".join(reasons)
+            "stream_detect_scalable: rule(s) would evaluate against an "
+            "empty broadcast device snapshot at fact scale: "
+            + "; ".join(reasons)
         )
+    _warn_triggerless_stateful(engine)
 
     snap_cols = ["device_id", "layer_id", "lat", "lon", "datetime"]
+    import posixpath
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         spark = batch_df.sparkSession
-        _v, snap = _latest_version(spark, work_dir, "snapshot", batch_id)
-        _sv, state = _latest_version(spark, work_dir, "state", batch_id)
+        snap_t = BucketedVersionTable(
+            spark, posixpath.join(work_dir, "snapshot"), n_buckets=n_buckets
+        )
+        state_t = BucketedVersionTable(
+            spark, posixpath.join(work_dir, "state"), n_buckets=n_buckets
+        )
+        snap = snap_t.read_latest(batch_id)
+        state = state_t.read_latest(batch_id)
         out = detect_batch_spark(
             batch_df,
             engine,
@@ -213,22 +221,28 @@ def stream_detect_scalable(
         ).cache()  # one pipeline run feeds both the sink and the state table
         events, states = split_output(out)
         sink(events, batch_id)
-        new_state = states if state is None else merge_state_df(state, states)
-        new_state.write.mode("overwrite").parquet(
-            os.path.join(work_dir, "state", f"v{batch_id}")
-        )
+        # trigger state: dirty buckets = buckets of this batch's dirty
+        # emissions; merge_state_df restricted to those buckets is
+        # identical to the full merge there, and untouched buckets keep
+        # their older versions (no rewrite).
+        state_t.merge_write(states, batch_id, merge=merge_state_df)
         out.unpersist()
+        # snapshot: dirty buckets = buckets of batch devices
         have = [c for c in snap_cols if c in batch_df.columns]
-        merged = batch_df.select(*have)
-        if snap is not None:
-            merged = snap.select(*have).unionByName(merged)
-        new_snap = snapshot_df_from_points(merged)
-        new_snap.write.mode("overwrite").parquet(
-            os.path.join(work_dir, "snapshot", f"v{batch_id}")
+        batch_pts = batch_df.select(*have)
+
+        def snap_merge(prior, upd):
+            return snapshot_df_from_points(prior.unionByName(upd))
+
+        snap_t.merge_write(
+            snapshot_df_from_points(batch_pts),
+            batch_id,
+            merge=snap_merge,
+            select_cols=have,
         )
         if retain_versions is not None:
-            _prune_versions(work_dir, "snapshot", batch_id - retain_versions)
-            _prune_versions(work_dir, "state", batch_id - retain_versions)
+            snap_t.prune(retain_versions)
+            state_t.prune(retain_versions)
 
     writer = points_stream.writeStream.foreachBatch(process).outputMode("append")
     if checkpoint_dir:

@@ -273,7 +273,7 @@ def test_stream_scalable_stateful_at_rule(spark, tmp_path):
     from spinix_spark.streaming.detect_stream import stream_detect_scalable
 
     def run(trigger):
-        base = tmp_path / trigger.replace(" ", "_")
+        base = tmp_path / trigger.replace(" ", "_").replace(":", "")  # Hadoop Path rejects ":" in components
         b0 = pd.DataFrame(
             {
                 "url": [f"b0u{j}" for j in range(4)],
@@ -319,7 +319,11 @@ def test_stream_scalable_stateful_at_rule(spark, tmp_path):
     got_once, base_once = run(":trigger once")
     assert len(got_once[0]) == 0  # empty snapshot: no events...
     assert len(got_once[1]) == 0  # ...but the trigger was consumed
-    st = spark.read.parquet(str(base_once / "work" / "state" / "v1"))
+    from spinix_spark.streaming.state_table import BucketedVersionTable
+
+    st = BucketedVersionTable(
+        spark, str(base_once / "work" / "state")
+    ).read_latest(10**9)
     rows = {r.device_id: (r.hits, r.last_seen, r.now) for r in st.collect()}
     assert len(rows) == 4 and all(h == 1 for h, _, _ in rows.values())
     # last_seen froze at the batch-0 fire time (changeState only runs
@@ -339,26 +343,45 @@ def test_stream_scalable_stateful_at_rule(spark, tmp_path):
 
 
 def test_latest_version_replay_idempotent(spark, tmp_path):
-    """_latest_version must return the newest version STRICTLY BELOW
-    the current batch id, so a checkpointed replay of batch N re-reads
-    the pre-N state instead of its own output."""
-    import os
+    """The bucketed state table must serve the newest version STRICTLY
+    BELOW the current batch id (per bucket), so a checkpointed replay
+    of batch N re-reads the pre-N state instead of its own output —
+    even when the crashed attempt already wrote SOME of batch N's
+    bucket dirs (partial-write replay)."""
+    from spinix_spark.streaming.state_table import BucketedVersionTable
 
-    from spinix_spark.streaming.detect_stream import _latest_version
-
-    work = str(tmp_path)
-    for v, val in ((0, 10), (1, 20), (3, 30)):
-        spark.createDataFrame([(val,)], "x long").write.parquet(
-            os.path.join(work, "snapshot", f"v{v}")
+    t = BucketedVersionTable(spark, str(tmp_path / "snapshot"), n_buckets=8)
+    # two keys landing in different buckets
+    ka, kb = "d0", "d3"
+    assert len(
+        t.dirty_buckets(
+            spark.createDataFrame([(ka,), (kb,)], "device_id string")
         )
-    assert _latest_version(spark, work, "snapshot", 0) == (-1, None)
-    v, df = _latest_version(spark, work, "snapshot", 1)
-    assert v == 0 and df.collect()[0].x == 10
-    v, df = _latest_version(spark, work, "snapshot", 3)  # replay of batch 3
-    assert v == 1 and df.collect()[0].x == 20
-    v, df = _latest_version(spark, work, "snapshot", 99)
-    assert v == 3 and df.collect()[0].x == 30
-    assert _latest_version(spark, work, "nope", 5) == (-1, None)
+    ) == 2
+    for v in (0, 1):
+        t.write_version(
+            spark.createDataFrame(
+                [(ka, 10 * (v + 1)), (kb, 10 * (v + 1) + 1)],
+                "device_id string, x long",
+            ),
+            v,
+        )
+    # batch 2's crashed attempt wrote ONLY ka's bucket before dying
+    t.write_version(
+        spark.createDataFrame([(ka, 30)], "device_id string, x long"), 2
+    )
+    # replay of batch 2 reads pre-2 state for BOTH keys
+    got = {r.device_id: r.x for r in t.read_latest(2).collect()}
+    assert got == {ka: 20, kb: 21}
+    # post-replay view (replay completed both buckets at v2)
+    t.write_version(
+        spark.createDataFrame(
+            [(ka, 30), (kb, 31)], "device_id string, x long"
+        ),
+        2,
+    )
+    got = {r.device_id: r.x for r in t.read_latest(99).collect()}
+    assert got == {ka: 30, kb: 31}
 
 
 def test_triggerless_stateful_state_rows_on_sql_path(spark):
