@@ -35,30 +35,40 @@ _ALL.update(ANALYTICS_QUERIES)
 _ALL.update(RELATIONAL_QUERIES)
 _ALL.update(MEDIA_QUERIES)
 
-# The driver's correctness gate samples a prefix of this dict when the
-# registry exceeds its per-round budget (round 2 ran the first 50 of
-# 57). Every query is verified locally via tools/gate_check.py each
-# round (see COVERAGE.md); to get a driver-recorded row for ALL of
-# them across rounds, queries the driver has not yet sampled are
-# PROMOTED to the front here, and long-green ones rotate toward the
-# back. Round-3 promotions: the 7 queries without a CORRECTNESS_r02
-# row + the new stateful devices(@) gate.
-_PROMOTE = [
-    "revenue_by_nation",
-    "top_customers",
-    "parts_never_ordered",
-    "media_features",
-    "token_topk",
-    "corpus_rollup",
-    "corpus_filter_funnel",
-    "detect_devices_at_stateful",
-    "media_frame_rollup",
-    "media_resize_stats",
-]
-_ALL = {
-    **{k: _ALL[k] for k in _PROMOTE if k in _ALL},
-    **{k: v for k, v in _ALL.items() if k not in _PROMOTE},
-}
+# The driver's correctness gate samples a PREFIX of this dict when the
+# registry exceeds its per-round budget (rounds 2-3 ran the first 50).
+# Every query is verified locally via tools/gate_check.py each round
+# (see COVERAGE.md); to get a driver-recorded row for ALL of them over
+# a bounded number of rounds, the registry is ordered DETERMINISTICALLY
+# by least-recently-driver-sampled: never-sampled queries first, then
+# ascending by the last round whose CORRECTNESS_r{N}.json recorded
+# them (ties keep registration order). With R = registry size and
+# B = per-round budget, every query gets a driver row at least once
+# every ceil(R / (R - B)) + 1 rounds — no hand-maintained list to
+# drift, and the per-round sampled set is reproducible from the
+# committed CORRECTNESS files.
+
+
+def _last_sampled_round() -> dict[str, int]:
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+            recorded = json.load(open(f))
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for name in recorded:
+            last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+_LAST = _last_sampled_round()
+_ORDER = sorted(range(len(_ALL)), key=lambda i: _LAST.get(list(_ALL)[i], 0))
+_ALL = {k: _ALL[k] for k in (list(_ALL)[i] for i in _ORDER)}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -125,6 +125,28 @@ Q_TIME_BUCKET = (
 )
 
 
+# The 100 TB variant of grouped_percentiles: exact `percentile`
+# buffers every group's values (required for oracle equality, fine
+# when groups fit in memory); `approx_percentile` is the single-pass
+# bounded-memory sketch a 10^12-row pipeline uses. Not registered as
+# a gate query — approximate output is not value-hash-matchable by
+# construction; accuracy is bounded against the exact form in
+# tests/test_percentiles_approx.py.
+PCT_APPROX_ACCURACY = 10_000
+Q_PCT_APPROX_SPARK = (
+    f"SELECT event_type, approx_percentile(value, 0.5, {PCT_APPROX_ACCURACY}) AS p50, "
+    f"approx_percentile(value, 0.9, {PCT_APPROX_ACCURACY}) AS p90, COUNT(*) AS n "
+    "FROM events GROUP BY event_type"
+)
+
+
+def grouped_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based grouped percentiles — same shape as the exact
+    `grouped_percentiles` gate query, scale-safe memory profile."""
+    load_tables(spark, sf_dir, ["events"])
+    return spark.sql(Q_PCT_APPROX_SPARK)
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "time_bucket_rollup": _mk(Q_TIME_BUCKET, Q_TIME_BUCKET),
     "sessionize": _mk(Q_SESS_SPARK, Q_SESS_DUCK),

@@ -62,6 +62,13 @@ def main() -> None:
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    # the AUTHORITATIVE registry count — docs cite this line's output,
+    # and tests/test_registry.py pins doc counts to len(queries())
+    run_set = [n for n in qs if not only or n in only]
+    print(
+        f"registry={len(qs)} queries ({len(oracles)} with value oracles); "
+        f"running {len(run_set)}"
+    )
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
