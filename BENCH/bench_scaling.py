@@ -132,7 +132,11 @@ def main() -> None:
         "pass_raw": raw_eff >= 0.8,
         "pass_hw_calibrated": raw_eff / hw_eff >= 0.8,
     }
-    tag = "" if job == "run_geo_pipeline" else "_E2E"
+    tag = {
+        "run_geo_pipeline": "",
+        "run_e2e_pipeline": "_E2E",
+        "run_e2e_neardup": "_NEARDUP",
+    }.get(job, "_" + job.removeprefix("run_").upper())
     name = (
         f"SCALING{tag}.json"
         if (lo_n, hi_n) == (2, 8)
