@@ -1,0 +1,80 @@
+"""Hadoop FileSystem helpers — scheme-aware filesystem metadata and
+small-file IO for driver-side bookkeeping (versioned state tables,
+lineage manifests).
+
+On a real cluster, checkpoints/state/manifests live on object stores
+(``s3a://``, ``gs://``, ``abfs://``) or HDFS; ``os.*``/``open()``
+silently require a driver-local (or NFS) path. Everything here goes
+through ``Path.getFileSystem(hadoopConf)`` from the active session,
+so the same code runs on ``file:`` in tests and object stores in
+production. Only DIMENSION-SIZED data (JSON manifests, directory
+listings) flows through these calls — fact-sized data always moves
+via DataFrame reads/writes."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path, jvm) for ``path_str`` under the session's
+    Hadoop configuration."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path, jvm
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, p, _ = hadoop_fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def mkdirs(spark: SparkSession, path: str) -> None:
+    fs, p, _ = hadoop_fs(spark, path)
+    fs.mkdirs(p)
+
+
+def delete(spark: SparkSession, path: str, recursive: bool = True) -> None:
+    fs, p, _ = hadoop_fs(spark, path)
+    if fs.exists(p):
+        fs.delete(p, recursive)
+
+
+def list_names(spark: SparkSession, path: str) -> list[str]:
+    """Child entry names of a directory ([] when absent)."""
+    fs, p, _ = hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return sorted(st.getPath().getName() for st in fs.listStatus(p))
+
+
+def read_text(spark: SparkSession, path: str) -> str | None:
+    """Full contents of a (small) text file; None when absent."""
+    fs, p, jvm = hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, False)
+        return bytes(baos.toByteArray()).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
+    """Write-then-rename commit: readers never observe a partial file.
+    (On S3A the rename is a copy, still write-once-then-visible — the
+    manifest is dimension-sized, so the copy is trivial.)"""
+    fs, p, jvm = hadoop_fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        raise IOError(f"rename {tmp} -> {p} failed")

@@ -461,6 +461,39 @@ def dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(drop, "doc_id", "left_anti")
 
 
+def spark_dedup_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate form of the REMOVAL lineage's end product: the documents
+    table minus non-canonical duplicate-cluster members, every column
+    value-checked against the recursive-CTE + window + anti-join
+    oracle."""
+    return (
+        dedup_filtered_corpus(spark, sf_dir)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def _dedup_filtered_oracle() -> str:
+    pairs = _lsh_pairs_sql(Q_MINHASH_DUCK)
+    return (
+        f"WITH RECURSIVE pairs AS ({pairs}), "
+        "und AS (SELECT a_id AS u, b_id AS v FROM pairs "
+        "UNION ALL SELECT b_id, a_id FROM pairs), "
+        "reach(u, v) AS (SELECT u, v FROM und "
+        "UNION SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u), "
+        "labels AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id "
+        "FROM reach GROUP BY u), "
+        "j AS (SELECT l.cluster_id, l.doc_id, d.n_chars FROM labels l "
+        "JOIN documents d ON d.doc_id = l.doc_id), "
+        "r AS (SELECT cluster_id, doc_id, "
+        "ROW_NUMBER() OVER (PARTITION BY cluster_id "
+        "ORDER BY n_chars DESC, doc_id ASC) AS rn FROM j) "
+        "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars "
+        "FROM documents d WHERE d.doc_id NOT IN "
+        "(SELECT doc_id FROM r WHERE rn > 1) ORDER BY d.doc_id"
+    )
+
+
 def _lsh_star_edges(mh_source: str) -> str:
     """STAR edges per LSH band-bucket: every member connects to the
     bucket's MINIMUM doc id — O(bucket size) edges instead of the
@@ -723,6 +756,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "ngram_jaccard_lsh": (spark_jaccard_lsh, Q_JACCARD_LSH_DUCK),
     "dedup_clusters": (spark_dedup_clusters, _dedup_clusters_oracle()),
     "dedup_keep_list": (spark_dedup_keep_list, _dedup_keep_list_oracle()),
+    "dedup_filtered": (spark_dedup_filtered, _dedup_filtered_oracle()),
     "minhash_signatures": _split(Q_MINHASH_SPARK, Q_MINHASH_DUCK),
     "minhash_lsh_pairs": (spark_lsh_pairs, Q_LSH_DUCK),
     "simhash": _split(Q_SIMHASH_SPARK, Q_SIMHASH_DUCK),

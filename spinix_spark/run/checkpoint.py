@@ -14,39 +14,51 @@ unit of progress.
 
 This mirrors how the 100 TB job would run: the chunk key is the
 Iceberg partition (or file-group) id, the manifest store is the
-job-state table.
+job-state table. Manifest IO goes through the Hadoop FileSystem API
+(spinix_spark.io.hdfs) once a session is bound, so ``out_dir`` may be
+an ``s3a://``/``gs://``/``hdfs://`` path — the manifest commit is
+write-tmp-then-rename (readers never see a partial manifest).
 """
 
 from __future__ import annotations
 
 import json
-import os
 import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from spinix_spark.io import hdfs
+
 
 class ChunkedRunner:
-    def __init__(self, out_dir: str, n_chunks: int) -> None:
-        self.out_dir = out_dir
+    def __init__(
+        self,
+        out_dir: str,
+        n_chunks: int,
+        spark: SparkSession | None = None,
+    ) -> None:
+        self.out_dir = out_dir.rstrip("/")
         self.n_chunks = n_chunks
-        os.makedirs(self._manifest_dir(), exist_ok=True)
+        # the session binds lazily (run() receives one); until then,
+        # metadata reads fall back to the active session if any
+        self.spark = spark
+
+    def _sess(self) -> SparkSession:
+        if self.spark is None:
+            self.spark = SparkSession.active()
+        return self.spark
 
     def _manifest_dir(self) -> str:
-        return os.path.join(self.out_dir, "_lineage")
+        return f"{self.out_dir}/_lineage"
 
     def _manifest_path(self, k: int) -> str:
-        return os.path.join(self._manifest_dir(), f"chunk-{k:05d}.json")
+        return f"{self._manifest_dir()}/chunk-{k:05d}.json"
 
     def chunk_done(self, k: int) -> bool:
-        p = self._manifest_path(k)
-        if not os.path.exists(p):
-            return False
         try:
-            with open(p) as f:
-                m = json.load(f)
-            return m.get("status") == "done"
+            text = hdfs.read_text(self._sess(), self._manifest_path(k))
+            return text is not None and json.loads(text).get("status") == "done"
         except (OSError, json.JSONDecodeError):
             return False
 
@@ -65,6 +77,8 @@ class ChunkedRunner:
         ``make_chunk_df(spark, k, n_chunks)`` produces chunk k's input;
         ``transform`` is the pipeline. Output: parquet per chunk +
         lineage manifest."""
+        self.spark = spark
+        hdfs.mkdirs(spark, self._manifest_dir())
         summary = {"chunks_total": self.n_chunks, "chunks_run": 0, "chunks_skipped": 0,
                    "rows_in": 0, "rows_out": 0, "wall_s": 0.0}
         for k in range(self.n_chunks):
@@ -75,7 +89,7 @@ class ChunkedRunner:
             df_in = make_chunk_df(spark, k, self.n_chunks)
             n_in = df_in.count() if input_count else -1
             out = transform(df_in)
-            path = os.path.join(self.out_dir, f"chunk={k}")
+            path = f"{self.out_dir}/chunk={k}"
             out.write.mode("overwrite").parquet(path)
             n_out = spark.read.parquet(path).count()
             wall = time.time() - t0
@@ -94,10 +108,11 @@ class ChunkedRunner:
                     "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
                 },
             }
-            tmp = self._manifest_path(k) + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(manifest, f)
-            os.replace(tmp, self._manifest_path(k))  # atomic commit
+            # write-then-rename commit (atomic on HDFS/file; readers
+            # never observe a partial manifest on object stores either)
+            hdfs.write_text_atomic(
+                spark, self._manifest_path(k), json.dumps(manifest)
+            )
             summary["chunks_run"] += 1
             summary["rows_in"] += max(n_in, 0)
             summary["rows_out"] += n_out
@@ -107,8 +122,7 @@ class ChunkedRunner:
     def lineage(self) -> list[dict]:
         out = []
         for k in range(self.n_chunks):
-            p = self._manifest_path(k)
-            if os.path.exists(p):
-                with open(p) as f:
-                    out.append(json.load(f))
+            text = hdfs.read_text(self._sess(), self._manifest_path(k))
+            if text is not None:
+                out.append(json.loads(text))
         return out

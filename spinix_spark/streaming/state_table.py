@@ -47,14 +47,7 @@ import posixpath
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-
-def _hadoop_fs(spark: SparkSession, path_str: str):
-    """(FileSystem, Path, jvm) for ``path_str`` under the session's
-    Hadoop configuration — scheme-aware (file:/hdfs:/s3a:/gs:/abfs:)."""
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(path_str)
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, path, jvm
+from spinix_spark.io.hdfs import hadoop_fs as _hadoop_fs
 
 
 class BucketedVersionTable:
