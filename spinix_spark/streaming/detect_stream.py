@@ -17,6 +17,7 @@ engine.go:218-221), then merged into it. Two implementations:
 
 from __future__ import annotations
 
+import posixpath
 from collections.abc import Callable
 
 import pandas as pd
@@ -198,7 +199,6 @@ def stream_detect_scalable(
     _warn_triggerless_stateful(engine)
 
     snap_cols = ["device_id", "layer_id", "lat", "lon", "datetime"]
-    import posixpath
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -33,20 +33,36 @@ def test_star_edges_same_components_as_pairwise(spark):
     assert star == pairwise and star
 
 
-def test_drop_set_keeps_one_canonical_per_cluster(spark):
+import pytest
+
+
+@pytest.mark.parametrize("fast_hash", [False, True])
+def test_drop_set_keeps_one_canonical_per_cluster(spark, fast_hash):
     from spinix_spark.io.derive import load_tables
     from spinix_spark.queries_text import (
-        _cached_signatures,
+        _SPARK_X,
+        _SPARK_X_FAST,
         _lsh_star_edges,
+        _minhash_sql_wide,
         cc_two_phase,
         neardup_drop_ids,
+        spark_shingles,
     )
 
     load_tables(spark, SF_DIR, ["documents"])
     corpus = spark.table("documents").select("doc_id", "text", "n_chars")
-    dropped = {r.doc_id for r in neardup_drop_ids(corpus).collect()}
-    _cached_signatures(spark, SF_DIR)
-    labels = cc_two_phase(spark.sql(_lsh_star_edges("mh_sig")))
+    dropped = {
+        r.doc_id
+        for r in neardup_drop_ids(corpus, fast_hash=fast_hash).collect()
+    }
+    # recompute expected clusters with the SAME hash family
+    sig = spark.sql(
+        _minhash_sql_wide(
+            spark_shingles(), _SPARK_X_FAST if fast_hash else _SPARK_X
+        )
+    )
+    sig.createOrReplaceTempView("_t_sig")
+    labels = cc_two_phase(spark.sql(_lsh_star_edges("_t_sig")))
     docs = spark.table("documents").select(
         F.col("doc_id").alias("node"), "n_chars"
     )
