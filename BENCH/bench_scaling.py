@@ -89,7 +89,7 @@ def run_level(cpus: int, n_pages: int, job: str = "run_geo_pipeline") -> dict:
         capture_output=True,
         text=True,
         cwd=REPO,
-        timeout=1800,
+        timeout=5400,
     )
     if out.returncode != 0:
         raise RuntimeError(out.stderr[-2000:])

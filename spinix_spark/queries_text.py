@@ -597,7 +597,14 @@ def cc_two_phase(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     m = min(Γ(u) ∪ {u}). Small-Star(u): orient edges toward the
     smaller endpoint, connect every smaller neighbor (and u) to the
     minimum. Fixpoint (star edge set stable under a round) is detected
-    with an order-independent signature; exhaustion raises loudly."""
+    with an order-independent signature; exhaustion raises loudly.
+
+    The signature (count, bit_xor(xxhash64)) rides the round's
+    checkpoint job as an ``observe`` metric — ONE Spark job per round,
+    not two; the per-round fixed cost is what bounds the composed
+    removal lineage's scaling efficiency at small inputs (BENCH/
+    BASELINE.md round-4 analysis)."""
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     cur = (
@@ -608,7 +615,7 @@ def cc_two_phase(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     )
     prev_sig = None
     converged = False
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         # LARGE-STAR over the symmetric closure
         sym = cur.unionAll(cur.selectExpr("v AS u", "u AS v"))
         mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
@@ -624,6 +631,10 @@ def cc_two_phase(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
             "greatest(u, v) AS u", "least(u, v) AS v"
         ).where("u <> v")
         m2 = o.groupBy("u").agg(F.min("v").alias("m"))
+        # order-independent set signature (bit_xor won't overflow ANSI
+        # long arithmetic the way sum(xxhash64) does), observed during
+        # the eager checkpoint's materialization job
+        obs = Observation(f"cc_sig_{rnd}")
         small = (
             o.join(m2, "u")
             .where("v <> m")
@@ -631,15 +642,15 @@ def cc_two_phase(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
             .unionAll(m2.selectExpr("u", "m AS v"))
             .where("u <> v")
             .distinct()
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("c"),
+                F.bit_xor(F.xxhash64("u", "v")).alias("s"),
+            )
             .localCheckpoint(eager=True)  # truncate per-round lineage
         )
         cur = small
-        # order-independent set signature (bit_xor won't overflow ANSI
-        # long arithmetic the way sum(xxhash64) does)
-        row = cur.selectExpr(
-            "count(*) AS c", "bit_xor(xxhash64(u, v)) AS s"
-        ).collect()[0]
-        sig = (row.c, row.s)
+        sig = (obs.get["c"], obs.get["s"])
         if sig == prev_sig:
             converged = True
             break
