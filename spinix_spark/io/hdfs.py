@@ -69,6 +69,10 @@ def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
     manifest is dimension-sized, so the copy is trivial.)"""
     fs, p, jvm = hadoop_fs(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    # no .crc sidecars for these tiny manifests (local ChecksumFileSystem
+    # would litter them and a stale sidecar after delete+rename replacement
+    # can fail later reads with a checksum mismatch)
+    fs.setWriteChecksum(False)
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))

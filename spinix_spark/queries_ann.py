@@ -399,6 +399,34 @@ def ann_recall_stats(
     return out
 
 
+def choose_nprobe(
+    spark: SparkSession,
+    sf_dir: str,
+    target_recall: float = 0.9,
+    max_nprobe: int = NLIST,
+    **kwargs,
+) -> tuple[int, dict]:
+    """Smallest NPROBE whose recall@k meets ``target_recall`` — the
+    operational wrapper around :func:`ann_recall_stats`: doubling
+    probe counts (1, 2, 4, ...) until the target is met, returning
+    (nprobe, full recall curve). At 100 TB this is the offline tuning
+    job that fixes the serving NPROBE; probing costs grow linearly in
+    NPROBE while recall saturates, so the doubling sweep finds the
+    knee in O(log NLIST) evaluations of the shared scored pass."""
+    nprobes = []
+    p = 1
+    while p < max_nprobe:
+        nprobes.append(p)
+        p *= 2
+    nprobes.append(max_nprobe)
+    curve = ann_recall_stats(spark, sf_dir, nprobes=tuple(nprobes), **kwargs)
+    topk = kwargs.get("topk", TOPK)
+    for p in nprobes:
+        if curve[f"recall{topk}_nprobe{p}"] >= target_recall:
+            return p, curve
+    return max_nprobe, curve
+
+
 ANN_QUERIES: dict[str, tuple] = {
     "ann_brute_topk": _mk(Q_TOPK_SPARK, Q_TOPK_DUCK),
     "ann_lsh_bucket": _mk(Q_LSH_SPARK, Q_LSH_DUCK),

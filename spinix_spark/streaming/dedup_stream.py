@@ -43,6 +43,7 @@ from pyspark.sql.window import Window
 
 from spinix_spark.queries_text import (
     _SPARK_X,
+    BANDS,
     N_HASHES,
     _minhash_sql_wide,
     spark_shingles,
@@ -52,7 +53,7 @@ from spinix_spark.streaming.state_table import BucketedVersionTable
 BANDS_VIEW = "_sd_batch_docs"
 
 
-def batch_band_buckets(docs: DataFrame, bands: int = 4) -> DataFrame:
+def batch_band_buckets(docs: DataFrame, bands: int = BANDS) -> DataFrame:
     """(doc_id, bkey) — one row per (doc, band): bkey =
     'band:min0,min1,...' over the band's signature rows. Pure
     Catalyst; same hash family/band layout as the batch LSH queries."""

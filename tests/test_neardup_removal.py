@@ -88,3 +88,17 @@ def test_ann_recall_full_probe_is_exact(spark):
     )
     assert out[f"recall10_nprobe{NLIST}"] == 1.0
     assert out["recall10_nprobe1"] <= 1.0
+
+
+def test_choose_nprobe_meets_target(spark):
+    from spinix_spark.queries_ann import NLIST, choose_nprobe
+
+    p, curve = choose_nprobe(
+        spark, SF_DIR, target_recall=0.99, n_queries=5, iters=1
+    )
+    assert curve[f"recall10_nprobe{p}"] >= 0.99
+    # full probe is always in the sweep, so a target of ≤1.0 resolves
+    assert p <= NLIST
+    # monotone in probe count (same scored pass, growing candidate set)
+    vals = [curve[k] for k in sorted(curve, key=lambda s: int(s.rsplit("nprobe", 1)[1]))]
+    assert vals == sorted(vals)

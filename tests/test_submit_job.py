@@ -23,7 +23,11 @@ def test_run_job_and_resume(spark, tmp_path):
     assert s1["chunks_run"] == 2 and s1["rows_out"] > 0
     # lineage manifests exist with rows/sec metrics
     lin_dir = os.path.join(out, "_lineage")
-    manifests = sorted(os.listdir(lin_dir))
+    # count manifests only (a Hadoop local FS may add sidecar files)
+    manifests = sorted(
+        f for f in os.listdir(lin_dir)
+        if f.startswith("chunk-") and f.endswith(".json")
+    )
     assert len(manifests) == 2
     m = json.load(open(os.path.join(lin_dir, manifests[0])))
     assert m["status"] == "done" and m["rows_per_sec"] is not None
