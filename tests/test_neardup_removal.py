@@ -102,3 +102,21 @@ def test_choose_nprobe_meets_target(spark):
     # monotone in probe count (same scored pass, growing candidate set)
     vals = [curve[k] for k in sorted(curve, key=lambda s: int(s.rsplit("nprobe", 1)[1]))]
     assert vals == sorted(vals)
+
+
+def test_star_edges_plan_is_single_equi_join(spark):
+    """Plan-shape guard: the star-edge construction must stay ONE
+    grouped-MIN + ONE equi-join — reintroducing the pairwise bucket
+    self-join (O(bucket²) output) would show up as an extra Join."""
+    from spinix_spark.io.derive import load_tables
+    from spinix_spark.queries_text import _cached_signatures, _lsh_star_edges
+
+    load_tables(spark, SF_DIR, ["documents"])
+    _cached_signatures(spark, SF_DIR)
+    plan = (
+        spark.sql(_lsh_star_edges("mh_sig"))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("Join") == 1, plan
