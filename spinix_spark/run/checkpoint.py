@@ -56,10 +56,15 @@ class ChunkedRunner:
         return f"{self._manifest_dir()}/chunk-{k:05d}.json"
 
     def chunk_done(self, k: int) -> bool:
+        # Read-only metadata probe: "can't read it" == "not done".
+        # Failure modes here are NOT OSError — hdfs.read_text surfaces
+        # FS errors as Py4JJavaError, and _sess() raises when no
+        # SparkSession is bound yet — so catch broadly; run() re-raises
+        # real FS errors at write time.
         try:
             text = hdfs.read_text(self._sess(), self._manifest_path(k))
             return text is not None and json.loads(text).get("status") == "done"
-        except (OSError, json.JSONDecodeError):
+        except Exception:
             return False
 
     def pending_chunks(self) -> list[int]:
@@ -121,8 +126,15 @@ class ChunkedRunner:
 
     def lineage(self) -> list[dict]:
         out = []
+        try:
+            sess = self._sess()
+        except Exception:
+            return out
         for k in range(self.n_chunks):
-            text = hdfs.read_text(self._sess(), self._manifest_path(k))
+            try:
+                text = hdfs.read_text(sess, self._manifest_path(k))
+            except Exception:
+                continue
             if text is not None:
                 out.append(json.loads(text))
         return out

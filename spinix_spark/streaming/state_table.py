@@ -159,6 +159,14 @@ class BucketedVersionTable:
         Buckets without rows in ``df`` are untouched — their current
         data stays at their older versions. Idempotent under replay:
         an existing ``v{batch_id}`` bucket dir is replaced."""
+        if "bucket" in df.columns:
+            # the partition column is stripped by the partitioned
+            # parquet layout — a pre-existing data column named
+            # `bucket` would be silently overwritten and lost on read
+            raise ValueError(
+                "BucketedVersionTable reserves the column name 'bucket'; "
+                "rename the data column before write_version/merge_write"
+            )
         stage = posixpath.join(self.base, f"_stage-v{batch_id}")
         (
             df.withColumn("bucket", self._bucket_expr())
