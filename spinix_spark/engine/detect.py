@@ -35,11 +35,30 @@ from spinix_spark.engine.runtime import Reference, eval_spec
 from spinix_spark.engine.stores import DeviceSnapshot, StateStore, ZoneStore
 from spinix_spark.geo.cells import DEFAULT_SCHEME, GridScheme
 from spinix_spark.geo.geodesy import (
+    EARTH_RADIUS_M,
     MIN_DIST_METERS,
     haversine_scalar,
+    lon_to_frame,
     normalize_distance,
     region_size_from_meters,
 )
+
+
+def _rule_geofence_bbox(ring, center_lat: float, radius_m: float):
+    """Geofence bbox from the rule's 8-gon ring, pole-aware: a circle
+    that crosses a pole covers [near-side min lat .. 90] at ALL
+    longitudes, which the planar min/max of the ring's vertices cannot
+    express (no vertex lies near the pole — bearing-0 vertices land on
+    the FAR side at reflected latitude). Plain ring_bbox elsewhere."""
+    import math
+
+    b = ring_bbox(ring)
+    deg_r = math.degrees(radius_m / EARTH_RADIUS_M)
+    if center_lat + deg_r >= 90.0:
+        return np.array([float(b[0]), -180.0, 90.0, 180.0])
+    if center_lat - deg_r <= -90.0:
+        return np.array([-90.0, -180.0, float(b[2]), 180.0])
+    return b
 from spinix_spark.geo.rings import RULE_CIRCLE_STEPS, circle_ring, ring_bbox
 
 _rule_seq = itertools.count(1)
@@ -93,7 +112,9 @@ class Rule:
                 RULE_CIRCLE_STEPS,
             )
             rule.ring = ring
-            rule.bbox = ring_bbox(ring)
+            rule.bbox = _rule_geofence_bbox(
+                ring, rule.spec.props.center_lat, rule.spec.props.radius_m
+            )
             rule.cells = engine.scheme.cover_bbox(*[float(x) for x in rule.bbox])
         return rule
 
@@ -198,7 +219,7 @@ class Engine:
         ring = circle_ring(
             props.center_lat, props.center_lon, props.radius_m, RULE_CIRCLE_STEPS
         )
-        bbox = ring_bbox(ring)
+        bbox = _rule_geofence_bbox(ring, props.center_lat, props.radius_m)
         cells = self.scheme.cover_bbox(bbox[0], bbox[1], bbox[2], bbox[3])
 
         rid = rule_id or _new_rule_id()
@@ -219,7 +240,11 @@ class Engine:
         out = {}
         for rid, rule in self.rules.items():
             b = rule.bbox
-            out[rid] = (lat >= b[0]) & (lat <= b[2]) & (lon >= b[1]) & (lon <= b[3])
+            # frame point lons to the (possibly unnormalized) box
+            # center — wrap-correct for rules centered near ±180°;
+            # bitwise no-op for mid-lon rules
+            lon_f = lon_to_frame(lon, (float(b[1]) + float(b[3])) / 2.0)
+            out[rid] = (lat >= b[0]) & (lat <= b[2]) & (lon_f >= b[1]) & (lon_f <= b[3])
         return out
 
     def detect_batch(self, batch: pd.DataFrame) -> pd.DataFrame:

@@ -220,20 +220,39 @@ def at_candidate_pairs(
 
     search_m = at_search_meters(node)
     cell = F.expr(scheme.sql_cell_expr("lat", "lon"))
-    cols = scheme.cols
 
     # exact k-ring extents matching rect_from_center: latitude reach is
     # the constant angular radius; longitude reach widens by 1/cos(lat),
     # so the column span is computed PER ROW (a constant k would
-    # silently undercover longitude away from the equator)
+    # silently undercover longitude away from the equator). Column
+    # offsets wrap modulo cols (antimeridian: a point at lon 179.99
+    # must reach the canonical cells of candidates at -179.99); a row
+    # whose search disc crosses a pole collapses to a single polar-cap
+    # key (its partners span all longitudes and all carry the cap key
+    # on the snapshot side), mirroring the kernel's polar widening.
+    from spinix_spark.engine.joins import CAP_NORTH_KEY, CAP_SOUTH_KEY
+
     r = search_m / EARTH_RADIUS_M
-    k_lat = int(math.ceil(math.degrees(r) / scheme.size))
+    deg_s = math.degrees(r)
+    k_lat = int(math.ceil(deg_s / scheme.size))
     sin_r = repr(math.sin(r))
     dlon_deg = (
         f"DEGREES(ASIN(LEAST(GREATEST({sin_r} / "
         f"GREATEST(COS(RADIANS(lat)), 1e-12), -1.0), 1.0)))"
     )
-    k_lon = f"CAST(CEIL({dlon_deg} / {scheme.size!r}) AS INT)"
+    cap_n = f"(lat + {deg_s!r} >= 90.0)"
+    cap_s = f"(lat - {deg_s!r} <= -90.0)"
+    cap = f"({cap_n} OR {cap_s})"
+    k_lon = (
+        f"(CASE WHEN {cap} THEN 0"
+        f" ELSE CAST(CEIL({dlon_deg} / {scheme.size!r}) AS INT) END)"
+    )
+    k_lat_expr = f"(CASE WHEN {cap} THEN 0 ELSE {k_lat} END)"
+    ncell = (
+        f"(CASE WHEN {cap_n} THEN CAST({CAP_NORTH_KEY} AS BIGINT)"
+        f" WHEN {cap_s} THEN CAST({CAP_SOUTH_KEY} AS BIGINT)"
+        f" ELSE {scheme.sql_neighbor_cell_expr('_cell', '_dr', '_dc')} END)"
+    )
 
     left = points.select(
         "_rowkey",
@@ -241,24 +260,38 @@ def at_candidate_pairs(
         F.col("layer_id").alias("a_layer"),
         F.col("lat").alias("a_lat"),
         F.col("lon").alias("a_lon"),
+        "lat",
         cell.alias("_cell"),
         F.expr(k_lon).alias("_klon"),
+        F.expr(k_lat_expr).alias("_klat"),
     )
     left = (
-        left.withColumn("_dr", F.explode(F.expr(f"sequence(-{k_lat}, {k_lat})")))
+        left.withColumn("_dr", F.explode(F.expr("sequence(-_klat, _klat)")))
         .withColumn("_dc", F.explode(F.expr("sequence(-_klon, _klon)")))
-        .withColumn(
-            "_ncell",
-            (F.col("_cell") + F.col("_dr") * F.lit(cols) + F.col("_dc")).cast("long"),
+        .withColumn("_ncell", F.expr(ncell).cast("long"))
+        .drop("lat", "_cell", "_dr", "_dc", "_klon", "_klat")
+    )
+    # snapshot side: canonical cell, plus the polar-cap key for devices
+    # in the 2·deg_s band (one scan: conditional key array + explode)
+    right_keys = F.array_compact(
+        F.array(
+            F.expr(scheme.sql_cell_expr("lat", "lon")).cast("long"),
+            F.when(
+                F.col("lat") >= F.lit(90.0 - 2.0 * deg_s),
+                F.lit(CAP_NORTH_KEY).cast("long"),
+            ),
+            F.when(
+                F.col("lat") <= F.lit(-90.0 + 2.0 * deg_s),
+                F.lit(CAP_SOUTH_KEY).cast("long"),
+            ),
         )
-        .drop("_cell", "_dr", "_dc", "_klon")
     )
     right = devices_df.select(
         F.col("device_id").alias("b_id"),
         F.col("layer_id").alias("b_layer"),
         F.col("lat").alias("b_lat"),
         F.col("lon").alias("b_lon"),
-        F.expr(scheme.sql_cell_expr("lat", "lon")).alias("_ncell"),
+        F.explode(right_keys).alias("_ncell"),
     )
     join_keys = ["_ncell"]
     if n_salt > 0:
@@ -268,14 +301,20 @@ def at_candidate_pairs(
         right = right.withColumn("_bb", F.pmod(F.xxhash64("b_id"), n_salt))
         join_keys = ["_ncell", "_bb"]
 
+    # candidacy = kernel universe: the framed rect test, widened at the
+    # poles (cap row × band candidate) exactly as the kernel widens —
+    # the exact verb (geodesic for polar rows) decides afterwards
+    rect_pred = rect_from_center_pred_sql(
+        "a_lat", "a_lon", "b_lat", "b_lon", search_m
+    )
+    polar_pred = (
+        f"((a_lat + {deg_s!r} >= 90.0 AND b_lat >= {90.0 - 2.0 * deg_s!r})"
+        f" OR (a_lat - {deg_s!r} <= -90.0 AND b_lat <= {-90.0 + 2.0 * deg_s!r}))"
+    )
     cand = (
         left.join(right, join_keys)
         .where(F.col("a_layer") == F.col("b_layer"))
-        .where(
-            F.expr(
-                rect_from_center_pred_sql("a_lat", "a_lon", "b_lat", "b_lon", search_m)
-            )
-        )
+        .where(F.expr(f"({rect_pred} OR {polar_pred})"))
         .select("_rowkey", "a_id", "a_lat", "a_lon", "b_id", "b_lat", "b_lon")
     )
 
@@ -317,6 +356,7 @@ def at_candidate_pairs(
                 pdf["b_lon"].to_numpy(np.float64),
                 0.0,
                 0,
+                target_meters=t_meters,
             )
             yield pdf.loc[pred, ["_rowkey", "b_id"]]
 

@@ -35,8 +35,17 @@ from pyspark.sql.types import (
 )
 
 from spinix_spark.geo.cells import GridScheme
+from spinix_spark.geo.geodesy import EARTH_RADIUS_M
 from spinix_spark.geo.sqlgen import haversine_sql
 from spinix_spark.engine.stores import Zone, zone_cells
+
+# Polar-cap join keys — sentinels far outside every canonical cell-id
+# band AND every out-of-band neighbor id (max legal id ≈ 1.2e16 at res
+# 12; int64 max ≈ 9.2e18). A row whose search disc crosses a pole
+# joins through the cap key instead of a (necessarily full-circle)
+# longitude span.
+CAP_NORTH_KEY = 10**18 + 1
+CAP_SOUTH_KEY = 10**18 + 2
 
 
 def zones_cells_df(spark, zones: list[Zone], scheme: GridScheme) -> DataFrame:
@@ -101,16 +110,81 @@ def points_in_zones_join(
     )
 
 
-def _with_neighbor_cells(df: DataFrame, scheme: GridScheme, cell_col: str) -> DataFrame:
-    cols = scheme.cols
-    neighbors = F.array(
-        *[
-            (F.col(cell_col) + F.lit(dr * cols + dc)).cast("long")
-            for dr in (-1, 0, 1)
-            for dc in (-1, 0, 1)
-        ]
+def _with_neighbor_cells(
+    df: DataFrame,
+    scheme: GridScheme,
+    cell_col: str,
+    radius_m: float,
+    lat_col: str = "a_lat",
+) -> DataFrame:
+    """Explode each row to its radius-covering search keys, globally
+    correct:
+
+    - latitude rings: ``k_lat = ceil(deg_r / size)`` rows either side;
+    - longitude span PER ROW: ``ceil(asin(sin r / cos lat) / size)``
+      columns — the exact max Δlon at distance r widens by 1/cos(lat)
+      (a constant k silently undercovers away from the equator);
+    - columns wrap modulo cols at the antimeridian;
+    - a row whose disc crosses a pole (|lat| + deg_r ≥ 90) collapses
+      to a single polar-cap key instead (its true partners span all
+      longitudes; they all lie in the cap band and carry the cap key
+      on the probe side — see ``_with_cap_probe_keys``)."""
+    import math
+
+    deg_r = math.degrees(radius_m / EARTH_RADIUS_M)
+    k_lat = int(math.ceil(deg_r / scheme.size))
+    sin_r = repr(math.sin(radius_m / EARTH_RADIUS_M))
+    dlon = (
+        f"DEGREES(ASIN(LEAST(GREATEST({sin_r} / "
+        f"GREATEST(COS(RADIANS({lat_col})), 1e-12), -1.0), 1.0)))"
     )
-    return df.withColumn("_ncell", F.explode(neighbors))
+    cap_n = f"({lat_col} + {deg_r!r} >= 90.0)"
+    cap_s = f"({lat_col} - {deg_r!r} <= -90.0)"
+    cap = f"({cap_n} OR {cap_s})"
+    klon = f"(CASE WHEN {cap} THEN 0 ELSE CAST(CEIL({dlon} / {scheme.size!r}) AS INT) END)"
+    klat = f"(CASE WHEN {cap} THEN 0 ELSE {k_lat} END)"
+    ncell = (
+        f"(CASE WHEN {cap_n} THEN CAST({CAP_NORTH_KEY} AS BIGINT)"
+        f" WHEN {cap_s} THEN CAST({CAP_SOUTH_KEY} AS BIGINT)"
+        f" ELSE {scheme.sql_neighbor_cell_expr(cell_col, '_dr', '_dc')} END)"
+    )
+    return (
+        df.withColumn("_klon", F.expr(klon))
+        .withColumn("_dr", F.explode(F.expr(f"sequence(-{klat}, {klat})")))
+        .withColumn("_dc", F.explode(F.expr("sequence(-_klon, _klon)")))
+        .withColumn("_ncell", F.expr(ncell).cast("long"))
+        .drop("_klon", "_dr", "_dc")
+    )
+
+
+def _with_cap_probe_keys(
+    df: DataFrame,
+    scheme: GridScheme,
+    radius_m: float,
+    lat_col: str,
+    cell_col: str,
+) -> DataFrame:
+    """Probe-side keys: the canonical cell, plus the polar-cap key for
+    rows in the cap band (within 2·deg_r of a pole — every true
+    partner of a pole-crossing searcher lies in this band). Single
+    scan: conditional key array + explode, no union."""
+    import math
+
+    deg_r = math.degrees(radius_m / EARTH_RADIUS_M)
+    keys = F.array_compact(
+        F.array(
+            F.col(cell_col).cast("long"),
+            F.when(
+                F.col(lat_col) >= F.lit(90.0 - 2.0 * deg_r),
+                F.lit(CAP_NORTH_KEY).cast("long"),
+            ),
+            F.when(
+                F.col(lat_col) <= F.lit(-90.0 + 2.0 * deg_r),
+                F.lit(CAP_SOUTH_KEY).cast("long"),
+            ),
+        )
+    )
+    return df.withColumn("_ncell", F.explode(keys)).drop(cell_col)
 
 
 def near_pairs(
@@ -120,8 +194,12 @@ def near_pairs(
     id_col: str = "doc_id",
     cell_col: str = "cell",
 ) -> DataFrame:
-    """Pairs within radius via 3×3 k-ring cell join + exact haversine.
-    Requires cell edge ≥ radius (kring k=1 covers the disc)."""
+    """Pairs within radius via wrapped k-ring cell join + exact
+    haversine. Globally correct: per-row longitude span (1/cos lat),
+    antimeridian column wrap, polar-cap key for pole-crossing discs —
+    the exact haversine refine admits every candidate the cell join
+    surfaces, and the cell join surfaces every true pair (asserted
+    against the O(n²) trig oracle in tests)."""
     left = _with_neighbor_cells(
         points.select(
             F.col(id_col).alias("a_id"),
@@ -131,12 +209,20 @@ def near_pairs(
         ),
         scheme,
         cell_col,
+        radius_m,
+        lat_col="a_lat",
     ).drop(cell_col)
-    right = points.select(
-        F.col(id_col).alias("b_id"),
-        F.col("lat").alias("b_lat"),
-        F.col("lon").alias("b_lon"),
-        F.col(cell_col).alias("_ncell"),
+    right = _with_cap_probe_keys(
+        points.select(
+            F.col(id_col).alias("b_id"),
+            F.col("lat").alias("b_lat"),
+            F.col("lon").alias("b_lon"),
+            F.col(cell_col),
+        ),
+        scheme,
+        radius_m,
+        "b_lat",
+        cell_col,
     )
     dist = F.expr(haversine_sql("a_lat", "a_lon", "b_lat", "b_lon"))
     return (
@@ -174,16 +260,24 @@ def near_pairs_salted(
         ),
         scheme,
         cell_col,
+        radius_m,
+        lat_col="a_lat",
     ).drop(cell_col)
     left = left.withColumn(
         "_bb", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
     )
-    right = salted.select(
-        F.col(id_col).alias("b_id"),
-        F.col("lat").alias("b_lat"),
-        F.col("lon").alias("b_lon"),
-        F.col(cell_col).alias("_ncell"),
-        F.col("_b").alias("_bb"),
+    right = _with_cap_probe_keys(
+        salted.select(
+            F.col(id_col).alias("b_id"),
+            F.col("lat").alias("b_lat"),
+            F.col("lon").alias("b_lon"),
+            F.col(cell_col),
+            F.col("_b").alias("_bb"),
+        ),
+        scheme,
+        radius_m,
+        "b_lat",
+        cell_col,
     ).withColumn("_ba", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
     dist = F.expr(haversine_sql("a_lat", "a_lon", "b_lat", "b_lon"))
     return (

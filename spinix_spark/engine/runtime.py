@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -69,12 +71,14 @@ from spinix_spark.engine.stores import (
     state_reset,
 )
 from spinix_spark.geo.geodesy import (
+    EARTH_RADIUS_M,
     MIN_DIST_METERS,
     SMALL_REGION_SIZE,
     SMALL_REGION_THRESHOLD_M,
     TINY_REGION_SIZE,
     TINY_REGION_THRESHOLD_M,
     haversine_m,
+    lon_to_frame,
     normalize_distance,
     round_to_unit,
 )
@@ -402,6 +406,21 @@ def _zone_verb_mask(
 # --- device-vs-device predicates (runtime.go:1530-1700) ------------------
 
 
+def _rings_to_frame(
+    rings: np.ndarray, ring_lons: np.ndarray, frame_lon: float
+) -> np.ndarray:
+    """Per-target rings rigidly translated by ±360° into the frame of a
+    candidate center, so planar ring-ring math is wrap-correct at the
+    antimeridian. ``ring_lons`` are the centers the rings were built
+    around. No copy (and bitwise no-op) when nothing straddles."""
+    delta = lon_to_frame(ring_lons, frame_lon) - ring_lons
+    if not np.any(delta):
+        return rings
+    shifted = rings.copy()
+    shifted[..., 1] += delta[:, None]
+    return shifted
+
+
 def _dd_verb_mask(
     op: Token,
     target_kind: Token,
@@ -412,11 +431,75 @@ def _dd_verb_mask(
     other_lon: float,
     other_meters: float,
     other_steps: int,
+    target_meters: float = 0.0,
 ) -> np.ndarray:
-    """One candidate device vs all batch targets."""
+    """One candidate device vs all batch targets — planar polygonized
+    rings (reference parity) with a GEODESIC override for polar rows:
+    when either circle crosses a pole, planar lat/lon polygon math is
+    undefined (the ring's lons jump ~180° across the pole), so RADIUS
+    verbs there are decided by the true spherical circle —
+    haversine-based intersect/contain. Bitwise no-op for every
+    non-polar row."""
+    res = _dd_verb_mask_planar(
+        op, target_kind, target_rings, batch, other_kind,
+        other_lat, other_lon, other_meters, other_steps,
+    )
+    if target_kind is Token.BBOX or other_kind is Token.BBOX:
+        return res  # planar-rect semantics; poles documented unsupported
+    t_m = float(target_meters) if target_rings is not None else 0.0
+    o_m = float(other_meters) if other_kind is Token.RADIUS else 0.0
+    if t_m <= 0.0 and o_m <= 0.0:
+        return res  # point vs point: exact coordinate equality, pole-safe
+    deg_t = math.degrees(t_m / EARTH_RADIUS_M)
+    deg_o = math.degrees(o_m / EARTH_RADIUS_M)
+    polar = (np.abs(batch.lat) + deg_t >= 90.0) | (
+        np.abs(np.asarray(other_lat, dtype=np.float64)) + deg_o >= 90.0
+    )
+    if not np.any(polar):
+        return res
+    d = haversine_m(batch.lat, batch.lon, other_lat, other_lon)
+    if target_rings is not None and other_kind is Token.RADIUS:
+        inter = d <= t_m + o_m
+        cont = d + o_m <= t_m  # target circle contains candidate circle
+        geo = {
+            Token.INTERSECTS: inter,
+            Token.NINTERSECTS: ~inter,
+            Token.NEAR: cont | inter,
+            Token.NNEAR: ~cont | ~inter,
+            Token.IN: cont,
+            Token.NIN: ~cont,
+        }[op]
+    else:
+        # one side is a point: every positive verb is the disc test
+        # (mirrors the planar pin mapping branch for branch)
+        pin = d <= max(t_m, o_m)
+        geo = pin if op in (Token.INTERSECTS, Token.NEAR, Token.IN) else ~pin
+    out = res.copy()
+    out[polar] = np.broadcast_to(geo, out.shape)[polar]
+    return out
+
+
+def _dd_verb_mask_planar(
+    op: Token,
+    target_kind: Token,
+    target_rings: np.ndarray | None,
+    batch: DeviceBatch,
+    other_kind: Token,
+    other_lat: float,
+    other_lon: float,
+    other_meters: float,
+    other_steps: int,
+) -> np.ndarray:
+    """Planar verb table (runtime.go:1530-1700), antimeridian-framed."""
     n = batch.n
     if other_kind in (Token.RADIUS, Token.BBOX):
         oring = circle_ring(other_lat, other_lon, other_meters, other_steps)
+        # antimeridian: planar ring math needs one longitude frame —
+        # shift target rings / batch lons into the candidate ring's
+        # frame (exact ±360°; bitwise no-op mid-longitude)
+        if target_rings is not None:
+            target_rings = _rings_to_frame(target_rings, batch.lon, other_lon)
+        batch_lon_f = lon_to_frame(batch.lon, other_lon)
         if other_kind is Token.RADIUS:
             if target_rings is not None:
                 t_in = ring_intersects_ring(target_rings, oring)
@@ -434,7 +517,7 @@ def _dd_verb_mask(
                 if op is Token.NIN:
                     return ~t_cont
             else:
-                pin = points_in_ring(batch.lat, batch.lon, oring)
+                pin = points_in_ring(batch.lat, batch_lon_f, oring)
                 if op in (Token.INTERSECTS, Token.NEAR):
                     return pin
                 if op in (Token.NINTERSECTS,):
@@ -465,7 +548,7 @@ def _dd_verb_mask(
                 if op is Token.NIN:
                     return ~o_cont_t
             else:
-                pin = points_in_ring(batch.lat, batch.lon, oring)
+                pin = points_in_ring(batch.lat, batch_lon_f, oring)
                 if op in (Token.INTERSECTS, Token.NEAR, Token.IN):
                     return pin
                 if op in (Token.NINTERSECTS, Token.NIN):
@@ -474,9 +557,17 @@ def _dd_verb_mask(
                     return ~pin
     else:  # other is a point
         if target_rings is not None:
+            # frame the candidate's lon per target ring (each ring is
+            # continuous around its own device's lon; a dateline
+            # neighbor's raw lon sits a world away in planar coords)
             pin = points_in_ring(
                 np.broadcast_to(np.asarray(other_lat, dtype=np.float64), (n,)),
-                np.broadcast_to(np.asarray(other_lon, dtype=np.float64), (n,)),
+                lon_to_frame(
+                    np.broadcast_to(
+                        np.asarray(other_lon, dtype=np.float64), (n,)
+                    ),
+                    batch.lon,
+                ),
                 target_rings,
             )
             if op in (Token.INTERSECTS, Token.NEAR, Token.IN):
@@ -590,6 +681,7 @@ def _masked_dd_eval(
         return _dd_verb_mask(
             op, t_kind, full_rings, batch, other_kind,
             other_lat, other_lon, other_meters, other_steps,
+            target_meters=node_left.meters(),
         )
     if idx.size:
         sub = DeviceBatch(batch.pdf.iloc[idx])
@@ -601,6 +693,7 @@ def _masked_dd_eval(
         out[idx] = _dd_verb_mask(
             op, t_kind, sub_rings, sub, other_kind,
             other_lat, other_lon, other_meters, other_steps,
+            target_meters=node_left.meters(),
         )
     return out
 
@@ -723,8 +816,16 @@ def _eval_sp_devices(
             )
             pre = (
                 (np.abs(batch.lat - other["lat"]) <= dlat)
-                & (np.abs(batch.lon - other["lon"]) <= dlon)
+                & (
+                    np.abs(batch.lon - lon_to_frame(other["lon"], batch.lon))
+                    <= dlon
+                )
             )
+            # polar band: near a pole the lon pad can't express the
+            # full-circle reach — admit cross-pole candidates (the
+            # exact verb's geodesic polar branch decides)
+            if abs(float(other["lat"])) + dlat >= 90.0:
+                pre |= np.abs(batch.lat) + dlat >= 90.0 - dlat
             mask = (
                 _masked_dd_eval(
                     node.op,
@@ -757,8 +858,23 @@ def _eval_sp_devices(
             else normalize_distance(search_meters, TINY_REGION_SIZE)
         )
         rects = rect_from_center(batch.lat, batch.lon, search_m)  # (N, 4)
+        # polar widening: a search disc that crosses a pole reaches all
+        # longitudes there — the rect's asin-clamped dlon (≤ 90°)
+        # cannot express that, so rows in the cap admit every candidate
+        # in the 2·deg_s polar band (superset; the exact verb decides)
+        deg_s = math.degrees(search_m / EARTH_RADIUS_M)
+        cap_n = batch.lat + deg_s >= 90.0
+        cap_s = batch.lat - deg_s <= -90.0
         for other in ref.devices.all_devices():
-            cand = rect_contains_point(rects, other["lat"], other["lon"])
+            # rect lon bounds are unnormalized (center ± dlon, possibly
+            # past ±180): frame the candidate lon per rect
+            cand = rect_contains_point(
+                rects, other["lat"], lon_to_frame(other["lon"], batch.lon)
+            )
+            if other["lat"] >= 90.0 - 2.0 * deg_s:
+                cand |= cap_n
+            if other["lat"] <= -90.0 + 2.0 * deg_s:
+                cand |= cap_s
             cand &= active
             cand &= batch.layer_id == other.get("layer_id", "0" * 20)
             if not cand.any():
@@ -777,11 +893,13 @@ def _eval_sp_devices(
                 mask[idx] = _dd_verb_mask(
                     node.op, t_kind, sub_rings, sub, other_kind,
                     other["lat"], other["lon"], other_meters, other_steps,
+                    target_meters=target_meters,
                 )
             else:
                 mask = cand & _dd_verb_mask(
                     node.op, t_kind, target_rings, batch, other_kind,
                     other["lat"], other["lon"], other_meters, other_steps,
+                    target_meters=target_meters,
                 )
             ok |= mask
             for i in np.nonzero(mask)[0]:

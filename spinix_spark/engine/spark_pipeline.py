@@ -45,6 +45,7 @@ from spinix_spark.dsl.tokens import Token
 from spinix_spark.engine.detect import Engine
 from spinix_spark.engine.runtime import Reference, eval_spec_full
 from spinix_spark.engine.stores import DeviceSnapshot, StateStore
+from spinix_spark.geo.geodesy import lon_to_frame
 
 OUT_SCHEMA = StructType(
     [
@@ -68,9 +69,24 @@ OUT_SCHEMA = StructType(
 
 
 def _bbox_pred(b, pad_lat: float = 0.0, pad_lon: float = 0.0) -> str:
+    """Catalyst-pushable bbox containment. A rule circle centered near
+    ±180° yields an UNNORMALIZED lon range (e.g. 179.5 .. 180.5, from
+    the continuous 8-gon ring) — then the point lon is framed (±360°
+    shift) to the box's center so west-side points still match. The
+    framed CASE is emitted ONLY for overflowing boxes; every mid-lon
+    rule keeps the plain comparison (identical SQL text and pushdown)."""
+    lo_lat = float(b[0]) - pad_lat
+    hi_lat = float(b[2]) + pad_lat
+    lo_lon = float(b[1]) - pad_lon
+    hi_lon = float(b[3]) + pad_lon
+    lon_expr = "lon"
+    if lo_lon < -180.0 or hi_lon > 180.0:
+        from spinix_spark.geo.sqlgen import lon_frame_sql
+
+        lon_expr = lon_frame_sql("lon", repr((lo_lon + hi_lon) / 2.0))
     return (
-        f"(lat >= {float(b[0]) - pad_lat!r} AND lat <= {float(b[2]) + pad_lat!r}"
-        f" AND lon >= {float(b[1]) - pad_lon!r} AND lon <= {float(b[3]) + pad_lon!r})"
+        f"(lat >= {lo_lat!r} AND lat <= {hi_lat!r}"
+        f" AND {lon_expr} >= {lo_lon!r} AND {lon_expr} <= {hi_lon!r})"
     )
 
 
@@ -801,11 +817,17 @@ def detect_batch_spark(
             lat = pdf["lat"].to_numpy(dtype=np.float64)
             lon = pdf["lon"].to_numpy(dtype=np.float64)
             for rule_id, spec, bbox in p["rules"]:
+                # frame lons to the (possibly unnormalized) box center
+                # — wrap-correct for rules centered near ±180°, exact
+                # no-op elsewhere (mirrors Engine.walk_rules)
+                lon_f = lon_to_frame(
+                    lon, (float(bbox[1]) + float(bbox[3])) / 2.0
+                )
                 mask = (
                     (lat >= bbox[0])
                     & (lat <= bbox[2])
-                    & (lon >= bbox[1])
-                    & (lon <= bbox[3])
+                    & (lon_f >= bbox[1])
+                    & (lon_f <= bbox[3])
                 )
                 if not mask.any():
                     continue

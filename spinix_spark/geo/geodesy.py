@@ -42,6 +42,25 @@ SMALL_REGION_THRESHOLD_M = 100_000.0
 LARGE_REGION_THRESHOLD_M = 300_000.0
 
 
+def lon_to_frame(lon, frame_lon):
+    """Representation of ``lon`` within ±180° of ``frame_lon`` — the
+    ±360° shift that makes planar longitude arithmetic (rect tests,
+    polygonized-circle PIP) wrap-correct at the antimeridian.
+
+    BITWISE no-op when |lon - frame_lon| <= 180 (the mid-latitude hot
+    path and every pre-round-5 fixture): the value is returned
+    unchanged, not re-derived, so existing parity is untouched. Only
+    points more than half a world apart in raw coordinates — i.e. a
+    dateline-straddling pair — are shifted."""
+    lon = np.asarray(lon, dtype=np.float64)
+    f = np.asarray(frame_lon, dtype=np.float64)
+    return np.where(
+        lon - f > 180.0,
+        lon - 360.0,
+        np.where(f - lon > 180.0, lon + 360.0, lon),
+    )
+
+
 def haversine_m(lat_a, lon_a, lat_b, lon_b):
     """Great-circle distance in meters (vectorized)."""
     phi1 = np.radians(np.asarray(lat_a, dtype=np.float64))

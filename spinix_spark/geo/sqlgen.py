@@ -436,12 +436,28 @@ def point_on_line_sql(
     return "(" + " OR ".join(terms) + ")"
 
 
+def lon_frame_sql(lon: str, frame_lon: str) -> str:
+    """SQL form of geodesy.lon_to_frame: ``lon`` shifted by ±360° into
+    the frame of ``frame_lon``. Evaluates to ``lon`` UNCHANGED (same
+    expression value, no re-derivation) when |lon - frame_lon| <= 180,
+    so mid-longitude comparisons stay bit-identical to the unframed
+    form."""
+    return (
+        f"(CASE WHEN {lon} - {frame_lon} > 180.0 THEN {lon} - 360.0"
+        f" WHEN {frame_lon} - {lon} > 180.0 THEN {lon} + 360.0"
+        f" ELSE {lon} END)"
+    )
+
+
 def rect_from_center_pred_sql(
     a_lat: str, a_lon: str, b_lat: str, b_lon: str, meters: float
 ) -> str:
     """(b_lat, b_lon) inside rect_from_center((a_lat, a_lon), meters) —
     the exact candidacy test of Devices.Near (rings.rect_from_center:
-    constant dlat, latitude-corrected dlon with the clamped arcsin)."""
+    constant dlat, latitude-corrected dlon with the clamped arcsin).
+    The candidate lon is framed to the center (±360° shift) so the
+    unnormalized rect bounds test is wrap-correct at the antimeridian,
+    mirroring the kernel's lon_to_frame(other.lon, batch.lon)."""
     import math
 
     r = float(meters) / EARTH_RADIUS_M
@@ -451,7 +467,8 @@ def rect_from_center_pred_sql(
         f"DEGREES(ASIN(LEAST(GREATEST({sin_r} / "
         f"GREATEST(COS(RADIANS({a_lat})), 1e-12), -1.0), 1.0)))"
     )
+    b_lon_f = lon_frame_sql(b_lon, a_lon)
     return (
         f"({b_lat} >= {a_lat} - {dlat} AND {b_lat} <= {a_lat} + {dlat}"
-        f" AND {b_lon} >= {a_lon} - {dlon} AND {b_lon} <= {a_lon} + {dlon})"
+        f" AND {b_lon_f} >= {a_lon} - {dlon} AND {b_lon_f} <= {a_lon} + {dlon})"
     )

@@ -163,10 +163,13 @@ def spark_device_near_device(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = spark.sql(
         f"SELECT doc_id, lat, lon, {FINE.sql_cell_expr('lat', 'lon')} AS cell FROM {_PTS} p"
     )
-    cols = FINE.cols
+    # wrapped neighbor ids (antimeridian-correct; identical values to
+    # the plain offset form everywhere off the dateline column)
     neighbor_cells = F.array(
         *[
-            (F.col("cell") + F.lit(dr * cols + dc)).cast("long")
+            F.expr(FINE.sql_neighbor_cell_expr("cell", str(dr), str(dc))).cast(
+                "long"
+            )
             for dr in (-1, 0, 1)
             for dc in (-1, 0, 1)
         ]
@@ -208,6 +211,48 @@ DUCK_DEVICE_NEAR_DEVICE = (
 )
 
 
+# --- cross-dateline near-pair join vs brute haversine oracle -------------
+# The derived points translated so their lon range straddles ±180°
+# (half land at ~+179.97°, half at ~-179.97°). The Spark side is the
+# full engine path (engine/joins.near_pairs: per-row wrapped k-ring +
+# polar-cap keys + exact haversine); the oracle is the brute O(n²)
+# haversine join, which is inherently wrap-correct (cos of Δlon).
+# Agreement proves the wrapped cell prefilter admits every true
+# cross-dateline pair (SURVEY §2B.1 no-false-negative invariant at the
+# antimeridian — round-5 headline fix).
+
+_DATELINE_SHIFT = 252.265  # centers the derived lon range on 180°
+_LON_SHIFTED = (
+    f"(CASE WHEN lon + {_DATELINE_SHIFT!r} > 180.0"
+    f" THEN lon + {_DATELINE_SHIFT!r} - 360.0"
+    f" ELSE lon + {_DATELINE_SHIFT!r} END)"
+)
+
+
+def spark_device_near_device_dateline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spinix_spark.engine.joins import near_pairs
+
+    load_tables(spark, sf_dir, ["documents"])
+    pts = spark.sql(
+        f"SELECT doc_id, lat, {_LON_SHIFTED} AS lon FROM {_PTS} p"
+    ).withColumn("cell", F.expr(FINE.sql_cell_expr("lat", "lon")))
+    pairs = near_pairs(pts, FINE, NEAR_PAIR_METERS)
+    return pairs.select(
+        "a_id", "b_id", F.expr(round50_sql("dist_m")).alias("dist50_m")
+    )
+
+
+DUCK_DND_DATELINE = (
+    f"WITH s AS (SELECT doc_id, lat, {_LON_SHIFTED} AS lon FROM {_PTS} p) "
+    f"SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+    + round50_sql(haversine_sql("a.lat", "a.lon", "b.lat", "b.lon"))
+    + " AS dist50_m FROM s a JOIN s b ON a.doc_id < b.doc_id "
+    + f"WHERE {haversine_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')} <= {NEAR_PAIR_METERS!r}"
+)
+
+
 GEO_QUERIES: dict[str, tuple] = {
     "points_derive": _shared(Q_POINTS),
     "cell_assign": _shared(Q_CELL),
@@ -225,4 +270,8 @@ GEO_QUERIES: dict[str, tuple] = {
     "attr_hour_range": _events_shared(Q_HOUR_RANGE),
     "json_extract": _events_split(Q_JSON_SPARK, Q_JSON_DUCK),
     "device_near_device": (spark_device_near_device, DUCK_DEVICE_NEAR_DEVICE),
+    "device_near_device_dateline": (
+        spark_device_near_device_dateline,
+        DUCK_DND_DATELINE,
+    ),
 }

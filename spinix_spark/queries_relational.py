@@ -59,9 +59,15 @@ Q_TOP_CUSTOMERS = (
 )
 
 # anti-join: parts never ordered (shape the reference cannot express)
+# anti-join gate. Round-5 de-vacuation (VERDICT r4 item 2): the plain
+# "never ordered at all" form returned 0 rows at EVERY scale factor
+# (the generator orders every part), so the gate could never catch an
+# anti-join regression. "Never ordered at quantity ≥ 48" keeps the
+# same NOT IN anti-join plan shape and returns 21 / 357 / 3297 rows at
+# sf 0.001 / 0.01 / 0.1.
 Q_PARTS_NEVER_ORDERED = (
     "SELECT p_partkey FROM part WHERE p_partkey NOT IN "
-    "(SELECT DISTINCT l_partkey FROM lineitem)"
+    "(SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity >= 48.0)"
 )
 
 

@@ -74,6 +74,54 @@ def batch_band_buckets(docs: DataFrame, bands: int = BANDS) -> DataFrame:
     )
 
 
+def admission_batch(
+    batch_df: DataFrame, table: BucketedVersionTable, batch_id: int
+) -> DataFrame:
+    """One micro-batch of the admission fold (steps 1-4 of the module
+    contract): returns the ADMITTED rows of ``batch_df`` and appends
+    their band keys as the touched state buckets' version
+    ``batch_id``. Shared by the Structured Streaming ``foreachBatch``
+    path and the batch-replay gate query
+    (queries_text.spark_stream_admission) — one implementation, two
+    drivers, so the driver's value oracle exercises the real code."""
+    bk = batch_band_buckets(batch_df).cache()
+    touched = table.dirty_buckets(bk)
+    hist = table.read_latest(batch_id, buckets=touched)
+    # historical collision: any band bucket already admitted
+    if hist is not None:
+        hist_hit = (
+            bk.join(hist, "bkey", "left_semi").select("doc_id").distinct()
+        )
+    else:
+        hist_hit = bk.select("doc_id").where(F.lit(False))
+    # within-batch first-writer-wins: min doc_id per bkey (NON-chaining:
+    # a doc colliding only with a dropped doc is still dropped — the
+    # bucket was claimed)
+    batch_hit = (
+        bk.withColumn("_mn", F.min("doc_id").over(Window.partitionBy("bkey")))
+        .where(F.col("doc_id") != F.col("_mn"))
+        .select("doc_id")
+        .distinct()
+    )
+    dropped = hist_hit.unionByName(batch_hit).distinct()
+    admitted = batch_df.join(dropped, "doc_id", "left_anti").cache()
+    # state append: admitted docs' bkeys join their prior buckets; a
+    # touched bucket whose docs were ALL dropped gets no new version
+    # (history there is already authoritative)
+    adm_keys = (
+        bk.join(admitted.select("doc_id"), "doc_id", "left_semi")
+        .select("bkey")
+        .distinct()
+    )
+
+    def merge(prior, upd):
+        return prior.unionByName(upd).distinct()
+
+    table.merge_write(adm_keys, batch_id, merge=merge)
+    bk.unpersist()
+    return admitted
+
+
 def stream_neardup_filter(
     docs_stream: DataFrame,
     sink: Callable[[DataFrame, int], None],
@@ -97,45 +145,11 @@ def stream_neardup_filter(
             key_col="bkey",
             n_buckets=n_buckets,
         )
-        bk = batch_band_buckets(batch_df).cache()
-        touched = table.dirty_buckets(bk)
-        hist = table.read_latest(batch_id, buckets=touched)
-        # historical collision: any band bucket already admitted
-        if hist is not None:
-            hist_hit = (
-                bk.join(hist, "bkey", "left_semi").select("doc_id").distinct()
-            )
-        else:
-            hist_hit = bk.select("doc_id").where(F.lit(False))
-        # within-batch first-writer-wins: min doc_id per bkey
-        batch_hit = (
-            bk.withColumn(
-                "_mn", F.min("doc_id").over(Window.partitionBy("bkey"))
-            )
-            .where(F.col("doc_id") != F.col("_mn"))
-            .select("doc_id")
-            .distinct()
-        )
-        dropped = hist_hit.unionByName(batch_hit).distinct()
-        admitted = batch_df.join(dropped, "doc_id", "left_anti").cache()
+        admitted = admission_batch(batch_df, table, batch_id)
         sink(admitted, batch_id)
-        # state append: admitted docs' bkeys join their prior buckets;
-        # a touched bucket whose docs were ALL dropped gets no new
-        # version (history there is already authoritative)
-        adm_keys = (
-            bk.join(admitted.select("doc_id"), "doc_id", "left_semi")
-            .select("bkey")
-            .distinct()
-        )
-
-        def merge(prior, upd):
-            return prior.unionByName(upd).distinct()
-
-        table.merge_write(adm_keys, batch_id, merge=merge)
         if retain_versions is not None:
             table.prune(retain_versions)
         admitted.unpersist()
-        bk.unpersist()
 
     writer = docs_stream.writeStream.foreachBatch(process).outputMode("append")
     if checkpoint_dir:

@@ -1,0 +1,291 @@
+"""Antimeridian + pole correctness (round-5 headline, SURVEY §2B.1).
+
+The no-false-negative prefilter invariant must hold GLOBALLY: a
+dateline-straddling or pole-crossing true pair must survive the cell
+prefilter and be decided by the exact predicate. Ground truth is the
+O(n²) trig oracle (brute haversine over all pairs) — fixture distances
+avoid the polygonized-circle ambiguity band (inradius 300·cos15° ≈
+289.8 m .. circumradius 300 m), so the 12-gon verb and the spherical
+circle agree on every fixture pair.
+
+Covers: GridScheme wrap/reflect (cells.py), the kernel's framed rect +
+polar widening + geodesic polar verb (runtime.py), the pair-join path
+(devices_at.py: wrapped k-ring + polar-cap keys), near_pairs /
+near_pairs_salted (joins.py), and the rule bbox prune
+(spark_pipeline._bbox_pred / detect.walk_rules) for rules centered at
+±180°.
+
+Reference invariant: devices.go:166-199 (index pruning must admit
+every true candidate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spinix_spark.engine.detect import Engine
+from spinix_spark.engine.spark_pipeline import detect_batch_spark, split_output
+from spinix_spark.geo.cells import GridScheme
+from spinix_spark.geo.geodesy import haversine_m, lon_to_frame
+
+LAYER = "0" * 20
+RADIUS_M = 300.0
+# polygonized 12-gon vs true circle disagree only in this distance
+# band — fixtures must not put any pair inside it
+AMBIG_LO, AMBIG_HI = 270.0, 320.0
+
+
+# --- fixture worlds ------------------------------------------------------
+
+
+def _world_dateline():
+    """Batch points and snapshot devices straddling ±180° at lat 10."""
+    snap = [
+        ("s" + "0" * 19, 10.0, 179.9995),
+        ("s" + "1" * 19, 10.0, -179.9995),
+        ("s" + "2" * 19, 10.0, -179.9960),
+    ]
+    points = [
+        ("pe", "d" + "0" * 18 + "1", 10.0, 179.9988),
+        ("pw", "d" + "0" * 18 + "2", 10.0, -179.9992),
+        ("pf", "d" + "0" * 18 + "3", 10.0, 179.9600),
+    ]
+    rule = (
+        f"device :radius {int(RADIUS_M)}m intersects devices(@)"
+        " { :center 10.0 179.99 :radius 50km }"
+    )
+    return points, snap, rule
+
+
+def _world_pole():
+    """Batch points and snapshot devices around the north pole."""
+    snap = [
+        ("s" + "0" * 19, 89.9995, 0.0),
+        ("s" + "1" * 19, 89.9995, 180.0),
+        ("s" + "2" * 19, 89.9950, 90.0),
+    ]
+    points = [
+        ("p0", "d" + "0" * 18 + "1", 89.9996, 0.0),
+        ("p1", "d" + "0" * 18 + "2", 89.9994, 179.9),
+    ]
+    rule = (
+        f"device :radius {int(RADIUS_M)}m intersects devices(@)"
+        " { :center 89.99 0.0 :radius 50km }"
+    )
+    return points, snap, rule
+
+
+def _points_df(spark, points):
+    pdf = pd.DataFrame(
+        {
+            "url": [p[0] for p in points],
+            "device_id": [p[1] for p in points],
+            "layer_id": [LAYER] * len(points),
+            "lat": [p[2] for p in points],
+            "lon": [p[3] for p in points],
+            "datetime": [1700000000 + i for i in range(len(points))],
+            "speed": [50.0] * len(points),
+            "status": [1] * len(points),
+        }
+    )
+    return spark.createDataFrame(pdf).repartition(3), pdf
+
+
+def _snap_rows(snap):
+    return [
+        {
+            "device_id": sid,
+            "layer_id": LAYER,
+            "lat": lat,
+            "lon": lon,
+            "datetime": 1690000000,
+        }
+        for sid, lat, lon in snap
+    ]
+
+
+def _brute_oracle(points, snap):
+    """O(n²) trig ground truth: url -> sorted matched snapshot ids."""
+    out = {}
+    for url, _, plat, plon in points:
+        hits = []
+        for sid, slat, slon in snap:
+            d = float(haversine_m(plat, plon, slat, slon))
+            assert not (AMBIG_LO < d < AMBIG_HI), (
+                f"fixture pair {url}-{sid} at {d:.1f} m sits in the "
+                "polygon/circle ambiguity band — move it"
+            )
+            if d <= RADIUS_M:
+                hits.append(sid)
+        out[url] = tuple(sorted(hits))
+    return out
+
+
+def _events_sets(events_df):
+    return {
+        r.url: tuple(sorted(r.right_refs or [])) for r in events_df.collect()
+    }
+
+
+@pytest.mark.parametrize("world", [_world_dateline, _world_pole])
+def test_at_global_worlds(spark, world):
+    points, snap, rule = world()
+    pts_df, _ = _points_df(spark, points)
+    snap_rows = _snap_rows(snap)
+    oracle = _brute_oracle(points, snap)
+    # every world must have a straddling/cross match AND a non-match
+    assert any(len(v) >= 2 for v in oracle.values())
+
+    eng_k = Engine()
+    for row in snap_rows:
+        eng_k.devices.insert_or_replace(row)
+    eng_k.add_rule(rule, rule_id="r" + "5" * 19)
+    ev_kernel, _ = split_output(detect_batch_spark(pts_df, eng_k))
+    kernel = _events_sets(ev_kernel)
+
+    eng_j = Engine()
+    eng_j.add_rule(rule, rule_id="r" + "5" * 19)
+    devices_df = spark.createDataFrame(pd.DataFrame(snap_rows))
+    ev_join, _ = split_output(
+        detect_batch_spark(pts_df, eng_j, devices_df=devices_df)
+    )
+    join = _events_sets(ev_join)
+
+    expected = {u: refs for u, refs in oracle.items() if refs}
+    assert kernel == expected, f"kernel {kernel} != oracle {expected}"
+    assert join == expected, f"join {join} != oracle {expected}"
+
+
+def test_at_dateline_both_sides_match(spark):
+    """The VERDICT done-criterion: devices on BOTH sides of ±180° fire,
+    with cross-dateline refs in each direction."""
+    points, snap, rule = _world_dateline()
+    oracle = _brute_oracle(points, snap)
+    assert "s" + "1" * 19 in oracle["pe"]  # east point → west device
+    assert "s" + "0" * 19 in oracle["pw"]  # west point → east device
+    assert oracle["pf"] == ()
+
+
+# --- near_pairs / near_pairs_salted vs brute haversine -------------------
+
+
+def _brute_pairs(ids, lat, lon, radius_m):
+    out = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j]:
+                if float(haversine_m(lat[i], lon[i], lat[j], lon[j])) <= radius_m:
+                    out.add((ids[i], ids[j]))
+    return out
+
+
+NEAR_WORLD = [
+    # dateline pair at lat 10 (110 m apart)
+    (1, 10.0, 179.9995),
+    (2, 10.0, -179.9995),
+    # high-latitude pair: Δlon = 0.012° at lat 80 → 232 m, needs
+    # klon=2 at res 9 (a constant k=1 ring silently misses it)
+    (3, 80.0, 10.000),
+    (4, 80.0, 10.012),
+    # cross-pole pair (222 m over the pole)
+    (5, 89.999, 0.0),
+    (6, 89.999, 180.0),
+    # isolated point
+    (7, 40.0, -100.0),
+    # plain mid-lat pair
+    (8, 42.0, 7.0000),
+    (9, 42.0, 7.0015),
+]
+
+
+@pytest.mark.parametrize("salted", [False, True])
+def test_near_pairs_global(spark, salted):
+    from spinix_spark.engine.joins import near_pairs, near_pairs_salted
+
+    scheme = GridScheme(res=9)
+    ids = [w[0] for w in NEAR_WORLD]
+    lat = np.array([w[1] for w in NEAR_WORLD])
+    lon = np.array([w[2] for w in NEAR_WORLD])
+    pdf = pd.DataFrame({"doc_id": ids, "lat": lat, "lon": lon})
+    pdf["cell"] = scheme.cell_of(lat, lon)
+    df = spark.createDataFrame(pdf).repartition(3)
+    radius = 250.0
+    fn = near_pairs_salted if salted else near_pairs
+    got = {
+        (r.a_id, r.b_id)
+        for r in fn(df, scheme, radius).collect()
+    }
+    exp = _brute_pairs(ids, lat, lon, radius)
+    assert got == exp, f"salted={salted}: {got} != {exp}"
+    # the world must actually exercise all three hard cases
+    assert (1, 2) in exp and (3, 4) in exp and (5, 6) in exp
+
+
+# --- grid scheme unit coverage ------------------------------------------
+
+
+def test_cell_of_canonical():
+    g = GridScheme(res=8)
+    assert g.cell_of(10.0, 180.0)[()] == g.cell_of(10.0, -180.0)[()]
+    assert g.cell_of(10.0, 190.0)[()] == g.cell_of(10.0, -170.0)[()]
+    # lat 90 clamps into the top row
+    top = int(g.cell_of(90.0, 0.0)[()])
+    assert (top - g.base) // g.cols == g.rows - 1
+
+
+def test_kring_wraps_dateline():
+    g = GridScheme(res=8)
+    east = int(g.cell_of(10.0, 179.995)[()])
+    west = int(g.cell_of(10.0, -179.995)[()])
+    assert west in g.kring(east, 1)
+    assert east in g.kring(west, 1)
+    assert len(g.kring(east, 1)) == 9
+
+
+def test_kring_reflects_pole():
+    g = GridScheme(res=8)
+    top = int(g.cell_of(89.999, 0.0)[()])
+    kr = g.kring(top, 1)
+    # row below (3 cols) + top row reflected to ALL columns (the 3
+    # in-range top-row cells dedupe into it)
+    assert len(kr) == 3 + g.cols
+    # the reflected side: the top-row cell at the opposite lon
+    opposite = int(g.cell_of(89.999, 180.0)[()])
+    assert opposite in kr
+
+
+def test_cover_bbox_unnormalized_lons():
+    g = GridScheme(res=8)
+    cov = g.cover_bbox(9.99, 179.98, 10.01, 180.02)
+    a = int(g.cell_of(10.0, 179.995)[()])
+    b = int(g.cell_of(10.0, -179.995)[()])
+    assert a in cov and b in cov
+
+
+def test_sql_cell_expr_matches_numpy_on_edges():
+    import duckdb
+
+    g = GridScheme(res=8)
+    lats = [10.0, 89.999, -89.999, 0.0, 45.5, 90.0, -90.0]
+    lons = [179.995, -179.995, 180.0, -180.0, 0.02, 190.0, -190.0]
+    rows = [(la, lo) for la in lats for lo in lons]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(lat DOUBLE, lon DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {g.sql_cell_expr('lat', 'lon')} FROM t"
+        ).fetchall()
+    ]
+    assert duck == [int(g.cell_of(la, lo)[()]) for la, lo in rows]
+
+
+def test_lon_to_frame_noop_and_wrap():
+    # bitwise no-op within half a world
+    lon = np.array([-72.31, 0.0, 179.9, -179.9])
+    assert (lon_to_frame(lon, 0.0)[:3] == lon[:3]).all()
+    assert lon_to_frame(-179.9, 179.9)[()] == pytest.approx(180.1)
+    assert lon_to_frame(179.9, -179.9)[()] == pytest.approx(-180.1)

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Interleaved A/B: md5 vs xxhash64 token-hash family for the near-dup
+removal lineage, on a LONG-document corpus (VERDICT r4 item 6).
+
+The round-4 measurement (commit 1aa4557) found the two families EQUAL
+at 600 k synthetic pages — but those pages average ~30 tokens, so the
+shingle explode + 16-MIN aggregation dominates and the token hash is
+noise. This harness synthesizes documents with ~300 tokens (~298
+shingles/doc, 10× the pages corpus) so the per-shingle hash cost is a
+first-order term, then times ``neardup_drop_ids`` with each family,
+interleaved (md5, xx, md5, xx, ...) in ONE warmed session so host
+drift hits both arms equally (PLANS.md measurement discipline).
+
+Usage: python tools/bench_hash_longdoc.py [n_docs] [cpus]
+Prints one JSON line; archive into PLANS.md, flip the
+``fast_hash`` default if xxhash64 wins decisively.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+CPUS = sys.argv[2] if len(sys.argv) > 2 else os.environ.get("SPARK_GRAFT_CPUS", "16")
+TOKENS = 300
+VOCAB = 5003  # prime
+
+
+def synthesize_longdocs(spark, n: int):
+    """Deterministic distributed long-doc corpus: ~300 tokens/doc, with
+    ~40% of docs being near-copies (first-k-token perturbation) of a
+    cluster base — enough duplicate structure that the star-edge /
+    CC stages do real work."""
+    from pyspark.sql import functions as F
+
+    base = (
+        "CASE WHEN doc_id % 5 != 0 AND doc_id % 25 < 10 "
+        "THEN doc_id - doc_id % 5 ELSE doc_id END"
+    )
+    perturb = "(doc_id % 5)"
+    token = (
+        f"concat('w', pmod(({base}) * 2654435761 + j * 97 "
+        f"+ CASE WHEN j < {perturb} THEN doc_id ELSE 0 END, {VOCAB}))"
+    )
+    return (
+        spark.range(n)
+        .withColumnRenamed("id", "doc_id")
+        .selectExpr(
+            "doc_id",
+            f"array_join(transform(sequence(0, {TOKENS - 1}), j -> {token}), ' ') AS text",
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from spinix_spark.queries_text import neardup_drop_ids
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("hash-longdoc-ab")
+        .config("spark.sql.shuffle.partitions", str(2 * int(CPUS)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    corpus = synthesize_longdocs(spark, N_DOCS)
+    n_tokens = corpus.selectExpr("sum(size(split(text, ' '))) AS t").collect()[0].t
+
+    # warm both arms (Python workers, codegen caches, JIT)
+    for fast in (False, True):
+        neardup_drop_ids(synthesize_longdocs(spark, 20_000), fast_hash=fast).count()
+
+    runs: dict[str, list[float]] = {"md5": [], "xxhash64": []}
+    drops: dict[str, int] = {}
+    for _ in range(3):
+        for fast, name in ((False, "md5"), (True, "xxhash64")):
+            t0 = time.time()
+            n_drop = neardup_drop_ids(corpus, fast_hash=fast).count()
+            runs[name].append(round(time.time() - t0, 2))
+            drops[name] = int(n_drop)
+    out = {
+        "n_docs": N_DOCS,
+        "tokens_per_doc": TOKENS,
+        "total_tokens": int(n_tokens),
+        "cpus": int(CPUS),
+        "md5_s": runs["md5"],
+        "xxhash64_s": runs["xxhash64"],
+        "md5_best_s": min(runs["md5"]),
+        "xxhash64_best_s": min(runs["xxhash64"]),
+        "speedup_xx_vs_md5": round(min(runs["md5"]) / min(runs["xxhash64"]), 3),
+        "n_dropped": drops,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
