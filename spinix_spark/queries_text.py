@@ -534,7 +534,7 @@ def _lsh_star_edges(mh_source: str) -> str:
 _SPARK_X_FAST = f"pmod(xxhash64(sh), {P})"
 
 
-def neardup_drop_ids(corpus: DataFrame, fast_hash: bool = False) -> DataFrame:
+def neardup_drop_ids(corpus: DataFrame, fast_hash: bool = True) -> DataFrame:
     """DROP set — the doc_id of every NON-canonical duplicate-cluster
     member — for an arbitrary corpus DataFrame with columns
     (doc_id, text, n_chars): the reusable near-dup REMOVAL stage for
@@ -546,16 +546,19 @@ def neardup_drop_ids(corpus: DataFrame, fast_hash: bool = False) -> DataFrame:
     rest. The minhash signature is cached only until cc_two_phase's
     eager checkpoint materialises the edge set, then released.
 
-    ``fast_hash`` selects the xxhash64 token-hash family (pure JVM,
-    no md5 hex round-trip). MEASURED EQUAL at 600 k pages / local[8]
-    (interleaved A/B, warmed: 23.2 s md5 vs 23.2 s xxhash64 — the
-    shingle explode + 16-MIN aggregation dominates, not the token
-    hash), so the default stays the md5 family shared with the
-    oracle-checked signature queries; flip it when profiling shows
-    hash cost on longer real-corpus documents (10×+ shingles/doc).
-    Both are (a·x+b) mod P universal families over a 31-bit token
-    hash — same statistics, different tokens→ints map, so cluster
-    boundaries can differ on borderline pairs."""
+    ``fast_hash`` (DEFAULT since round 5) selects the xxhash64
+    token-hash family (pure JVM, no md5 hex round-trip). Measured
+    EQUAL at 600 k ~30-token pages (round 4: 23.2 s both — the shingle
+    explode dominates), but on a 300-token/doc corpus (round 5,
+    tools/bench_hash_longdoc.py: 20 k docs, 6 M tokens, warmed
+    interleaved best-of-3) xxhash64 wins 59.4 → 57.2 s best / ~8 % on
+    means — so the standalone removal lineage defaults to it. The
+    oracle-checked signature queries (minhash_signatures, LSH pairs,
+    dedup_clusters) keep the md5 family: it is the only 32-bit hash
+    both engines compute identically. Both are (a·x+b) mod P universal
+    families over a 31-bit token hash — same statistics, different
+    tokens→ints map, so cluster boundaries can differ on borderline
+    pairs (20 k-doc corpus: 6364 vs 6374 drops)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 

@@ -23,10 +23,12 @@ import os
 import sys
 import time
 
-N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
 CPUS = sys.argv[2] if len(sys.argv) > 2 else os.environ.get("SPARK_GRAFT_CPUS", "16")
 TOKENS = 300
-VOCAB = 5003  # prime
+VOCAB = 1_000_003  # prime, large enough that shingles are doc-specific
 
 
 def synthesize_longdocs(spark, n: int):
@@ -41,9 +43,15 @@ def synthesize_longdocs(spark, n: int):
         "THEN doc_id - doc_id % 5 ELSE doc_id END"
     )
     perturb = "(doc_id % 5)"
+    # token stream must be per-(base, position) pseudo-random: a linear
+    # formula makes consecutive tokens differ by a constant, collapsing
+    # every shingle to its first token (≤ VOCAB distinct shingles
+    # corpus-wide → one giant near-dup cluster). xxhash64 here is
+    # SYNTHESIS only — the measured hash families are inside
+    # neardup_drop_ids.
     token = (
-        f"concat('w', pmod(({base}) * 2654435761 + j * 97 "
-        f"+ CASE WHEN j < {perturb} THEN doc_id ELSE 0 END, {VOCAB}))"
+        f"concat('w', pmod(xxhash64("
+        f"CASE WHEN j < {perturb} THEN doc_id ELSE ({base}) END, j), {VOCAB}))"
     )
     return (
         spark.range(n)
@@ -71,12 +79,15 @@ def main() -> None:
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
-    corpus = synthesize_longdocs(spark, N_DOCS)
+    # materialize the corpus: the A/B measures the removal lineage's
+    # hash family, not the (HOF-heavy) synthesis expression
+    corpus = synthesize_longdocs(spark, N_DOCS).localCheckpoint(eager=True)
     n_tokens = corpus.selectExpr("sum(size(split(text, ' '))) AS t").collect()[0].t
 
     # warm both arms (Python workers, codegen caches, JIT)
+    warm = synthesize_longdocs(spark, 2_000).localCheckpoint(eager=True)
     for fast in (False, True):
-        neardup_drop_ids(synthesize_longdocs(spark, 20_000), fast_hash=fast).count()
+        neardup_drop_ids(warm, fast_hash=fast).count()
 
     runs: dict[str, list[float]] = {"md5": [], "xxhash64": []}
     drops: dict[str, int] = {}
