@@ -242,16 +242,24 @@ def at_candidate_pairs(
     )
     cap_n = f"(lat + {deg_s!r} >= 90.0)"
     cap_s = f"(lat - {deg_s!r} <= -90.0)"
-    cap = f"({cap_n} OR {cap_s})"
-    k_lon = (
-        f"(CASE WHEN {cap} THEN 0"
-        f" ELSE CAST(CEIL({dlon_deg} / {scheme.size!r}) AS INT) END)"
+    k_lon = f"CAST(CEIL({dlon_deg} / {scheme.size!r}) AS INT)"
+    cols = scheme.cols
+    # key set as ONE per-row array, exploded ONCE (two chained
+    # sequence-explodes measured 1.7× slower on the hot-cell bench —
+    # each Generate is a codegen stage break; see joins.py). The wrap
+    # is an additive correction against the precomputed column index
+    # (klon < cols ⇒ at most one wrap either way).
+    nb = (
+        f"(_cell + dr * {cols} + dc"
+        f" + CASE WHEN _co + dc < 0 THEN {cols}"
+        f" WHEN _co + dc >= {cols} THEN -{cols} ELSE 0 END)"
     )
-    k_lat_expr = f"(CASE WHEN {cap} THEN 0 ELSE {k_lat} END)"
-    ncell = (
-        f"(CASE WHEN {cap_n} THEN CAST({CAP_NORTH_KEY} AS BIGINT)"
-        f" WHEN {cap_s} THEN CAST({CAP_SOUTH_KEY} AS BIGINT)"
-        f" ELSE {scheme.sql_neighbor_cell_expr('_cell', '_dr', '_dc')} END)"
+    keys = (
+        f"CASE WHEN {cap_n} THEN array(CAST({CAP_NORTH_KEY} AS BIGINT))"
+        f" WHEN {cap_s} THEN array(CAST({CAP_SOUTH_KEY} AS BIGINT))"
+        f" ELSE flatten(transform(sequence(-{k_lat}, {k_lat}), dr ->"
+        f" transform(sequence(-{k_lon}, {k_lon}), dc ->"
+        f" CAST({nb} AS BIGINT)))) END"
     )
 
     left = points.select(
@@ -262,14 +270,13 @@ def at_candidate_pairs(
         F.col("lon").alias("a_lon"),
         "lat",
         cell.alias("_cell"),
-        F.expr(k_lon).alias("_klon"),
-        F.expr(k_lat_expr).alias("_klat"),
     )
     left = (
-        left.withColumn("_dr", F.explode(F.expr("sequence(-_klat, _klat)")))
-        .withColumn("_dc", F.explode(F.expr("sequence(-_klon, _klon)")))
-        .withColumn("_ncell", F.expr(ncell).cast("long"))
-        .drop("lat", "_cell", "_dr", "_dc", "_klon", "_klat")
+        left.withColumn(
+            "_co", (F.col("_cell") - F.lit(scheme.base)) % F.lit(cols)
+        )
+        .withColumn("_ncell", F.explode(F.expr(keys)))
+        .drop("lat", "_cell", "_co")
     )
     # snapshot side: canonical cell, plus the polar-cap key for devices
     # in the 2·deg_s band (one scan: conditional key array + explode)

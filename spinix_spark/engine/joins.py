@@ -128,7 +128,14 @@ def _with_neighbor_cells(
     - a row whose disc crosses a pole (|lat| + deg_r ≥ 90) collapses
       to a single polar-cap key instead (its true partners span all
       longitudes; they all lie in the cap band and carry the cap key
-      on the probe side — see ``_with_cap_probe_keys``)."""
+      on the probe side — see ``_with_cap_probe_keys``).
+
+    Plan shape: the key set is built as ONE per-row array and exploded
+    ONCE. The first implementation chained two sequence-explodes
+    (rows × columns) and measured 1.7× slower on the hot-cell bench —
+    each Generate is a codegen stage break; the nested `transform` here
+    is interpreted but touches only ~(2k+1)² tiny int expressions per
+    input row (PLANS.md round-5 measurement)."""
     import math
 
     deg_r = math.degrees(radius_m / EARTH_RADIUS_M)
@@ -140,20 +147,28 @@ def _with_neighbor_cells(
     )
     cap_n = f"({lat_col} + {deg_r!r} >= 90.0)"
     cap_s = f"({lat_col} - {deg_r!r} <= -90.0)"
-    cap = f"({cap_n} OR {cap_s})"
-    klon = f"(CASE WHEN {cap} THEN 0 ELSE CAST(CEIL({dlon} / {scheme.size!r}) AS INT) END)"
-    klat = f"(CASE WHEN {cap} THEN 0 ELSE {k_lat} END)"
-    ncell = (
-        f"(CASE WHEN {cap_n} THEN CAST({CAP_NORTH_KEY} AS BIGINT)"
-        f" WHEN {cap_s} THEN CAST({CAP_SOUTH_KEY} AS BIGINT)"
-        f" ELSE {scheme.sql_neighbor_cell_expr(cell_col, '_dr', '_dc')} END)"
+    klon = f"CAST(CEIL({dlon} / {scheme.size!r}) AS INT)"
+    cols = scheme.cols
+    # wrap as an additive correction against the precomputed column
+    # index (valid because klon < cols: at most one wrap either way)
+    nb = (
+        f"({cell_col} + dr * {cols} + dc"
+        f" + CASE WHEN _co + dc < 0 THEN {cols}"
+        f" WHEN _co + dc >= {cols} THEN -{cols} ELSE 0 END)"
+    )
+    keys = (
+        f"CASE WHEN {cap_n} THEN array(CAST({CAP_NORTH_KEY} AS BIGINT))"
+        f" WHEN {cap_s} THEN array(CAST({CAP_SOUTH_KEY} AS BIGINT))"
+        f" ELSE flatten(transform(sequence(-{k_lat}, {k_lat}), dr ->"
+        f" transform(sequence(-{klon}, {klon}), dc ->"
+        f" CAST({nb} AS BIGINT)))) END"
     )
     return (
-        df.withColumn("_klon", F.expr(klon))
-        .withColumn("_dr", F.explode(F.expr(f"sequence(-{klat}, {klat})")))
-        .withColumn("_dc", F.explode(F.expr("sequence(-_klon, _klon)")))
-        .withColumn("_ncell", F.expr(ncell).cast("long"))
-        .drop("_klon", "_dr", "_dc")
+        df.withColumn(
+            "_co", (F.col(cell_col) - F.lit(scheme.base)) % F.lit(cols)
+        )
+        .withColumn("_ncell", F.explode(F.expr(keys)))
+        .drop("_co")
     )
 
 
