@@ -747,6 +747,13 @@ def _eval_sp_object(
             else normalize_distance(meters, SMALL_REGION_SIZE)
         )
         rects = rect_from_center(batch.lat, batch.lon, search_m)  # (N, 4)
+        # NOTE (antimeridian): zone geometry near ±180° follows the
+        # RFC 7946 split convention (a zone crossing the dateline must
+        # be registered as two zones), and the planar zone verbs below
+        # evaluate in the canonical frame on BOTH the kernel and the
+        # SQL-compiled path — wrap-framing only the candidacy here
+        # would be output-neutral while quietly diverging from the
+        # Catalyst path, so it is intentionally NOT applied.
         for z in ref.zones.all_zones():
             if z.layer_id != layer:
                 continue

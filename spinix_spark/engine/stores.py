@@ -32,6 +32,7 @@ from spinix_spark.geo.geodesy import (
     TINY_REGION_SIZE,
     SMALL_REGION_SIZE,
     haversine_m,
+    lon_to_frame,
     normalize_distance,
 )
 from spinix_spark.geo.rings import circle_ring, rect_from_center
@@ -233,11 +234,17 @@ class ZoneStore:
             return []
         rect = rect_from_center(lat, lon, meters)
         b = self._bboxes
+        # frame each zone's lon interval to the query center (zones
+        # themselves never cross ±180° — RFC 7946 split convention —
+        # but the query rect may overflow past it); rigid per-zone
+        # ±360° shift, exact no-op mid-longitude
+        zc = (b[:, 1] + b[:, 3]) / 2.0
+        dl = lon_to_frame(zc, lon) - zc
         hit = (
             (b[:, 0] <= rect[2])
             & (b[:, 2] >= rect[0])
-            & (b[:, 1] <= rect[3])
-            & (b[:, 3] >= rect[1])
+            & (b[:, 1] + dl <= rect[3])
+            & (b[:, 3] + dl >= rect[1])
         )
         return [
             self._zones[self._ids[i]]
@@ -306,11 +313,15 @@ class DeviceSnapshot:
         if a["lat"].size == 0:
             return []
         rect = rect_from_center(lat, lon, meters)
+        # rect lon bounds are unnormalized (center ± dlon past ±180):
+        # frame candidate lons to the query center (exact no-op
+        # mid-longitude) so the dateline doesn't split the search box
+        lon_f = lon_to_frame(a["lon"], lon)
         hit = (
             (a["lat"] >= rect[0])
             & (a["lat"] <= rect[2])
-            & (a["lon"] >= rect[1])
-            & (a["lon"] <= rect[3])
+            & (lon_f >= rect[1])
+            & (lon_f <= rect[3])
         )
         return [self._rows[a["device_id"][i]] for i in np.nonzero(hit)[0]]
 

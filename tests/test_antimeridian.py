@@ -283,6 +283,42 @@ def test_sql_cell_expr_matches_numpy_on_edges():
     assert duck == [int(g.cell_of(la, lo)[()]) for la, lo in rows]
 
 
+def test_devices_store_near_dateline():
+    """Devices.Near (op #23): the search rect overflows ±180° and must
+    still return the neighbor on the far side."""
+    from spinix_spark.engine.stores import DeviceSnapshot
+
+    store = DeviceSnapshot()
+    for did, lat, lon in [
+        ("a" + "0" * 19, 10.0, 179.9995),
+        ("b" + "0" * 19, 10.0, -179.9995),
+        ("c" + "0" * 19, 10.0, -179.9000),
+    ]:
+        store.insert_or_replace(
+            {"device_id": did, "layer_id": LAYER, "lat": lat, "lon": lon,
+             "datetime": 1}
+        )
+    got = {d["device_id"] for d in store.near(10.0, 179.9990, 300.0)}
+    assert "b" + "0" * 19 in got  # across the dateline
+    assert "a" + "0" * 19 in got
+    assert "c" + "0" * 19 not in got  # 11 km away
+
+
+def test_zones_store_near_dateline():
+    """Objects.Near (op #24): query rect overflowing ±180° finds a
+    zone registered on the far side (zones never cross the line —
+    RFC 7946 split convention)."""
+    from spinix_spark.engine.stores import ZoneStore, zone_from_ring
+    from spinix_spark.geo.rings import circle_ring
+
+    zs = ZoneStore()
+    ring = circle_ring(10.0, -179.999, 200.0, 6)
+    zs.add(zone_from_ring("z" + "0" * 19, ring, layer_id=LAYER))
+    got = zs.near(LAYER, 10.0, 179.9995, 300.0)
+    assert [z.object_id for z in got] == ["z" + "0" * 19]
+    assert zs.near(LAYER, 10.0, 179.0, 300.0) == []
+
+
 def test_lon_to_frame_noop_and_wrap():
     # bitwise no-op within half a world
     lon = np.array([-72.31, 0.0, 179.9, -179.9])
