@@ -111,11 +111,19 @@ def main() -> None:
     # job: run_geo_pipeline (default) or run_e2e_pipeline (the composed
     # funnel → dedup → geoparse → detect → tiles lineage)
     job = os.environ.get("SPARK_GRAFT_SCALING_JOB", "run_geo_pipeline")
-    cap_lo = hw_capacity(lo_n)
-    cap_hi = hw_capacity(hi_n)
-    hw_eff = cap_hi / (4.0 * cap_lo)
+    # probe host capacity IMMEDIATELY BEFORE each level runs (round-5
+    # lesson: a single suite-start probe under-corrects when external
+    # load arrives mid-suite — the levels run ~30 min apart and this
+    # box drifts ~2× between windows). Pairing each level with its
+    # adjacent probe folds BOTH the SMT ceiling and temporal drift
+    # into hw_eff; the start-window probes are kept for transparency.
+    cap_lo_start = hw_capacity(lo_n)
+    cap_hi_start = hw_capacity(hi_n)
     lo = run_level(lo_n, n_pages, job)
+    cap_hi_adj = hw_capacity(hi_n)
     hi = run_level(hi_n, n_pages, job)
+    cap_lo, cap_hi = cap_lo_start, cap_hi_adj
+    hw_eff = cap_hi / (4.0 * cap_lo)
     raw_eff = hi["pages_per_sec"] / (4.0 * lo["pages_per_sec"])
     result = {
         "job": job,
@@ -125,6 +133,7 @@ def main() -> None:
         f"local{hi_n}": hi,
         f"hw_capacity_{lo_n}procs_hashes_per_sec": round(cap_lo, 0),
         f"hw_capacity_{hi_n}procs_hashes_per_sec": round(cap_hi, 0),
+        f"hw_capacity_{hi_n}procs_start_window": round(cap_hi_start, 0),
         "hw_efficiency": round(hw_eff, 3),
         "raw_scaling_efficiency": round(raw_eff, 3),
         "job_scaling_efficiency_hw_calibrated": round(raw_eff / hw_eff, 3),
