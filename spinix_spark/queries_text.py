@@ -534,6 +534,37 @@ def _lsh_star_edges(mh_source: str) -> str:
 _SPARK_X_FAST = f"pmod(xxhash64(sh), {P})"
 
 
+def _fast_shingle_sig_sql(table: str) -> str:
+    """Minhash signature for the NO-ORACLE removal lineage with
+    shingles fused into the HASH DOMAIN: the 3-token window hashes
+    directly via ``xxhash64(w0, w1, w2)`` — no concatenated shingle
+    STRING is ever materialized, no ``array_distinct`` runs (MIN is
+    duplicate-insensitive), and the exploded stream carries int64
+    instead of ~60-byte strings. Same (a·x+b) mod P family over the
+    window hash; different tokens→ints map than the md5 form, so
+    cluster boundaries can differ on borderline pairs (like any hash
+    family swap — the structural guarantees are unchanged). The
+    gate-checked signature queries keep the string+md5 form: md5 is
+    the only hash both engines compute identically."""
+    elems = ", ".join(f"ws[i + {k}]" for k in range(SHINGLE_W))
+    mins = ", ".join(
+        f"MIN(({A[j]} * x + {B[j]}) % {P}) AS mh{j}" for j in range(N_HASHES)
+    )
+    stack_args = ", ".join(
+        f"CAST({j} AS BIGINT), mh{j}" for j in range(N_HASHES)
+    )
+    return (
+        f"WITH t AS (SELECT doc_id, split(text, ' ') AS ws FROM {table} "
+        f"WHERE size(split(text, ' ')) >= {SHINGLE_W}), "
+        f"hx AS (SELECT doc_id, pmod(sh, {P}) AS x FROM t "
+        f"LATERAL VIEW explode(transform(sequence(0, size(ws) - {SHINGLE_W}), "
+        f"i -> xxhash64({elems}))) e AS sh), "
+        f"w AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id) "
+        f"SELECT doc_id, j, mh FROM w "
+        f"LATERAL VIEW stack({N_HASHES}, {stack_args}) t2 AS j, mh"
+    )
+
+
 def neardup_drop_ids(corpus: DataFrame, fast_hash: bool = True) -> DataFrame:
     """DROP set — the doc_id of every NON-canonical duplicate-cluster
     member — for an arbitrary corpus DataFrame with columns
@@ -565,10 +596,9 @@ def neardup_drop_ids(corpus: DataFrame, fast_hash: bool = True) -> DataFrame:
     spark = corpus.sparkSession
     corpus.select("doc_id", "text").createOrReplaceTempView("_nd_corpus")
     sig = spark.sql(
-        _minhash_sql_wide(
-            spark_shingles(table="_nd_corpus"),
-            _SPARK_X_FAST if fast_hash else _SPARK_X,
-        )
+        _fast_shingle_sig_sql("_nd_corpus")
+        if fast_hash
+        else _minhash_sql_wide(spark_shingles(table="_nd_corpus"), _SPARK_X)
     ).cache()
     sig.createOrReplaceTempView("_nd_sig")
     labels = cc_two_phase(spark.sql(_lsh_star_edges("_nd_sig")))

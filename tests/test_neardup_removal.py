@@ -41,7 +41,7 @@ def test_drop_set_keeps_one_canonical_per_cluster(spark, fast_hash):
     from spinix_spark.io.derive import load_tables
     from spinix_spark.queries_text import (
         _SPARK_X,
-        _SPARK_X_FAST,
+        _fast_shingle_sig_sql,
         _lsh_star_edges,
         _minhash_sql_wide,
         cc_two_phase,
@@ -55,11 +55,12 @@ def test_drop_set_keeps_one_canonical_per_cluster(spark, fast_hash):
         r.doc_id
         for r in neardup_drop_ids(corpus, fast_hash=fast_hash).collect()
     }
-    # recompute expected clusters with the SAME hash family
+    # recompute expected clusters with the SAME signature construction
+    # (fast path = hash-domain fused shingles)
     sig = spark.sql(
-        _minhash_sql_wide(
-            spark_shingles(), _SPARK_X_FAST if fast_hash else _SPARK_X
-        )
+        _fast_shingle_sig_sql("documents")
+        if fast_hash
+        else _minhash_sql_wide(spark_shingles(), _SPARK_X)
     )
     sig.createOrReplaceTempView("_t_sig")
     labels = cc_two_phase(spark.sql(_lsh_star_edges("_t_sig")))
