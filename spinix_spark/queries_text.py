@@ -640,17 +640,10 @@ def cc_two_phase(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    cur = (
-        edges.selectExpr("a_id AS u", "b_id AS v")
-        .where("u <> v")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    prev_sig = None
-    converged = False
-    for rnd in range(max_rounds):
+    def one_round(df):
+        """Large-Star then Small-Star as a LAZY plan over ``df``."""
         # LARGE-STAR over the symmetric closure
-        sym = cur.unionAll(cur.selectExpr("v AS u", "u AS v"))
+        sym = df.unionAll(df.selectExpr("v AS u", "u AS v"))
         mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
         mins = mins.withColumn("m", F.least("_mn", F.col("u"))).drop("_mn")
         large = (
@@ -664,23 +657,42 @@ def cc_two_phase(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
             "greatest(u, v) AS u", "least(u, v) AS v"
         ).where("u <> v")
         m2 = o.groupBy("u").agg(F.min("v").alias("m"))
-        # order-independent set signature (bit_xor won't overflow ANSI
-        # long arithmetic the way sum(xxhash64) does), observed during
-        # the eager checkpoint's materialization job
-        obs = Observation(f"cc_sig_{rnd}")
-        small = (
+        return (
             o.join(m2, "u")
             .where("v <> m")
             .selectExpr("v AS u", "m AS v")
             .unionAll(m2.selectExpr("u", "m AS v"))
             .where("u <> v")
             .distinct()
+        )
+
+    cur = (
+        edges.selectExpr("a_id AS u", "b_id AS v")
+        .where("u <> v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    converged = False
+    # TWO Large/Small rounds fuse into one checkpoint job: per-job
+    # fixed cost (driver planning, codegen, job latency, checkpoint
+    # commit) is what bounds small-input scaling (BENCH/BASELINE.md
+    # round-4 F ≈ 15-30 s analysis), and the star set shrinks
+    # monotonically so convergence detection at stride 2 costs at most
+    # one extra (tiny, converged) round of work.
+    for rnd in range(0, max_rounds, 2):
+        # order-independent set signature (bit_xor won't overflow ANSI
+        # long arithmetic the way sum(xxhash64) does), observed during
+        # the eager checkpoint's materialization job
+        obs = Observation(f"cc_sig_{rnd}")
+        small = (
+            one_round(one_round(cur))
             .observe(
                 obs,
                 F.count(F.lit(1)).alias("c"),
                 F.bit_xor(F.xxhash64("u", "v")).alias("s"),
             )
-            .localCheckpoint(eager=True)  # truncate per-round lineage
+            .localCheckpoint(eager=True)  # truncate lineage per job
         )
         cur = small
         sig = (obs.get["c"], obs.get["s"])
