@@ -319,6 +319,29 @@ def test_zones_store_near_dateline():
     assert zs.near(LAYER, 10.0, 179.0, 300.0) == []
 
 
+def test_near_pairs_plan_single_generate_per_side(spark):
+    """Plan-shape pin for the round-5 perf fix: the k-ring key set is
+    ONE per-row array exploded ONCE per side. The regression this
+    guards against — chaining two sequence-explodes — measured 1.7×
+    slower (each Generate is a codegen stage break; PLANS.md). Expected
+    Generates in near_pairs_salted: left keys, left salt fan-out,
+    right probe keys, right salt fan-out = 4 total; plain near_pairs:
+    left keys + right probe keys = 2."""
+    from spinix_spark.engine.joins import near_pairs, near_pairs_salted
+
+    scheme = GridScheme(res=9)
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "lat": [10.0, 10.001, 40.0],
+         "lon": [7.0, 7.001, -100.0]}
+    )
+    pdf["cell"] = scheme.cell_of(pdf["lat"].to_numpy(), pdf["lon"].to_numpy())
+    df = spark.createDataFrame(pdf)
+    plain = near_pairs(df, scheme, 250.0)._jdf.queryExecution().executedPlan().toString()
+    salted = near_pairs_salted(df, scheme, 250.0)._jdf.queryExecution().executedPlan().toString()
+    assert plain.count("Generate") == 2, plain
+    assert salted.count("Generate") == 4, salted
+
+
 def test_lon_to_frame_noop_and_wrap():
     # bitwise no-op within half a world
     lon = np.array([-72.31, 0.0, 179.9, -179.9])
