@@ -358,10 +358,11 @@ def run_e2e_neardup(spark, n_pages: int) -> dict:
         (F.col("lang") == "en") & (F.length("text") >= 30)
     ).withColumn("doc_id", F.xxhash64("url"))
     corpus = funneled.withColumn("n_chars", F.length("text"))
-    drop = neardup_drop_ids(corpus)
-    # count the drop set itself so n_neardup_dropped measures the
-    # dedup stage alone, not funnel/geoparse attrition (cheap: the
-    # drop-id set is tiny relative to the corpus)
+    # persist the drop set: its count (the dedup-stage metric — not
+    # funnel/geoparse attrition) and the anti-join below both consume
+    # it; without the persist the keep-longest window lineage would
+    # evaluate twice (only the CC edge set is checkpointed upstream)
+    drop = neardup_drop_ids(corpus).persist()
     n_dropped = drop.count()
     clean = corpus.join(drop, "doc_id", "left_anti")
     points = (
@@ -371,6 +372,7 @@ def run_e2e_neardup(spark, n_pages: int) -> dict:
         .persist()
     )
     n_clean = points.count()
+    drop.unpersist()
     engine = Engine()
     engine.zones.add(
         zone_from_ring(

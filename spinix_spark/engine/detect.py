@@ -42,6 +42,7 @@ from spinix_spark.geo.geodesy import (
     normalize_distance,
     region_size_from_meters,
 )
+from spinix_spark.geo.rings import RULE_CIRCLE_STEPS, circle_ring, ring_bbox
 
 
 def _rule_geofence_bbox(ring, center_lat: float, radius_m: float):
@@ -59,7 +60,6 @@ def _rule_geofence_bbox(ring, center_lat: float, radius_m: float):
     if center_lat - deg_r <= -90.0:
         return np.array([-90.0, -180.0, float(b[2]), 180.0])
     return b
-from spinix_spark.geo.rings import RULE_CIRCLE_STEPS, circle_ring, ring_bbox
 
 _rule_seq = itertools.count(1)
 

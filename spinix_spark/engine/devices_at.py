@@ -221,46 +221,17 @@ def at_candidate_pairs(
     search_m = at_search_meters(node)
     cell = F.expr(scheme.sql_cell_expr("lat", "lon"))
 
-    # exact k-ring extents matching rect_from_center: latitude reach is
-    # the constant angular radius; longitude reach widens by 1/cos(lat),
-    # so the column span is computed PER ROW (a constant k would
-    # silently undercover longitude away from the equator). Column
-    # offsets wrap modulo cols (antimeridian: a point at lon 179.99
-    # must reach the canonical cells of candidates at -179.99); a row
-    # whose search disc crosses a pole collapses to a single polar-cap
-    # key (its partners span all longitudes and all carry the cap key
-    # on the snapshot side), mirroring the kernel's polar widening.
-    from spinix_spark.engine.joins import CAP_NORTH_KEY, CAP_SOUTH_KEY
+    # search/probe key construction is shared with the radius
+    # self-join (engine/joins.py): per-row wrapped k-ring span
+    # (latitude reach = angular radius; longitude widens by 1/cos lat),
+    # single-explode key arrays, polar-cap keys for pole-crossing
+    # discs — mirroring the kernel's rect universe + polar widening.
+    from spinix_spark.engine.joins import (
+        _with_cap_probe_keys,
+        _with_neighbor_cells,
+    )
 
-    r = search_m / EARTH_RADIUS_M
-    deg_s = math.degrees(r)
-    k_lat = int(math.ceil(deg_s / scheme.size))
-    sin_r = repr(math.sin(r))
-    dlon_deg = (
-        f"DEGREES(ASIN(LEAST(GREATEST({sin_r} / "
-        f"GREATEST(COS(RADIANS(lat)), 1e-12), -1.0), 1.0)))"
-    )
-    cap_n = f"(lat + {deg_s!r} >= 90.0)"
-    cap_s = f"(lat - {deg_s!r} <= -90.0)"
-    k_lon = f"CAST(CEIL({dlon_deg} / {scheme.size!r}) AS INT)"
-    cols = scheme.cols
-    # key set as ONE per-row array, exploded ONCE (two chained
-    # sequence-explodes measured 1.7× slower on the hot-cell bench —
-    # each Generate is a codegen stage break; see joins.py). The wrap
-    # is an additive correction against the precomputed column index
-    # (klon < cols ⇒ at most one wrap either way).
-    nb = (
-        f"(_cell + dr * {cols} + dc"
-        f" + CASE WHEN _co + dc < 0 THEN {cols}"
-        f" WHEN _co + dc >= {cols} THEN -{cols} ELSE 0 END)"
-    )
-    keys = (
-        f"CASE WHEN {cap_n} THEN array(CAST({CAP_NORTH_KEY} AS BIGINT))"
-        f" WHEN {cap_s} THEN array(CAST({CAP_SOUTH_KEY} AS BIGINT))"
-        f" ELSE flatten(transform(sequence(-{k_lat}, {k_lat}), dr ->"
-        f" transform(sequence(-{k_lon}, {k_lon}), dc ->"
-        f" CAST({nb} AS BIGINT)))) END"
-    )
+    deg_s = math.degrees(search_m / EARTH_RADIUS_M)
 
     left = points.select(
         "_rowkey",
@@ -271,34 +242,21 @@ def at_candidate_pairs(
         "lat",
         cell.alias("_cell"),
     )
-    left = (
-        left.withColumn(
-            "_co", (F.col("_cell") - F.lit(scheme.base)) % F.lit(cols)
-        )
-        .withColumn("_ncell", F.explode(F.expr(keys)))
-        .drop("lat", "_cell", "_co")
-    )
-    # snapshot side: canonical cell, plus the polar-cap key for devices
-    # in the 2·deg_s band (one scan: conditional key array + explode)
-    right_keys = F.array_compact(
-        F.array(
-            F.expr(scheme.sql_cell_expr("lat", "lon")).cast("long"),
-            F.when(
-                F.col("lat") >= F.lit(90.0 - 2.0 * deg_s),
-                F.lit(CAP_NORTH_KEY).cast("long"),
-            ),
-            F.when(
-                F.col("lat") <= F.lit(-90.0 + 2.0 * deg_s),
-                F.lit(CAP_SOUTH_KEY).cast("long"),
-            ),
-        )
-    )
-    right = devices_df.select(
-        F.col("device_id").alias("b_id"),
-        F.col("layer_id").alias("b_layer"),
-        F.col("lat").alias("b_lat"),
-        F.col("lon").alias("b_lon"),
-        F.explode(right_keys).alias("_ncell"),
+    left = _with_neighbor_cells(
+        left, scheme, "_cell", search_m, lat_col="lat"
+    ).drop("lat", "_cell")
+    right = _with_cap_probe_keys(
+        devices_df.select(
+            F.col("device_id").alias("b_id"),
+            F.col("layer_id").alias("b_layer"),
+            F.col("lat").alias("b_lat"),
+            F.col("lon").alias("b_lon"),
+            cell.alias("_cell"),
+        ),
+        scheme,
+        search_m,
+        "b_lat",
+        "_cell",
     )
     join_keys = ["_ncell"]
     if n_salt > 0:

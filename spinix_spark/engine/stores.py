@@ -28,6 +28,7 @@ import numpy as np
 
 from spinix_spark.dsl.compiler import NIL_XID
 from spinix_spark.geo.geodesy import (
+    EARTH_RADIUS_M,
     MIN_DIST_METERS,
     TINY_REGION_SIZE,
     SMALL_REGION_SIZE,
@@ -246,6 +247,14 @@ class ZoneStore:
             & (b[:, 1] + dl <= rect[3])
             & (b[:, 3] + dl >= rect[1])
         )
+        # polar widening (mirrors the kernel @ path): a search disc
+        # that crosses a pole reaches all longitudes there — admit
+        # every zone touching the 2·deg_r polar band
+        deg_r = float(np.degrees(meters / EARTH_RADIUS_M))
+        if lat + deg_r >= 90.0:
+            hit |= b[:, 2] >= 90.0 - 2.0 * deg_r
+        if lat - deg_r <= -90.0:
+            hit |= b[:, 0] <= -90.0 + 2.0 * deg_r
         return [
             self._zones[self._ids[i]]
             for i in np.nonzero(hit)[0]
@@ -323,6 +332,15 @@ class DeviceSnapshot:
             & (lon_f >= rect[1])
             & (lon_f <= rect[3])
         )
+        # polar widening (mirrors the kernel @ path): a search disc
+        # that crosses a pole reaches all longitudes there — the
+        # asin-clamped rect (dlon ≤ 90°) cannot express that, so admit
+        # every device in the 2·deg_r polar band
+        deg_r = float(np.degrees(meters / EARTH_RADIUS_M))
+        if lat + deg_r >= 90.0:
+            hit |= a["lat"] >= 90.0 - 2.0 * deg_r
+        if lat - deg_r <= -90.0:
+            hit |= a["lat"] <= -90.0 + 2.0 * deg_r
         return [self._rows[a["device_id"][i]] for i in np.nonzero(hit)[0]]
 
     def moved_distance(self, row: dict) -> float | None:

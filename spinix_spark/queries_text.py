@@ -525,15 +525,6 @@ def _lsh_star_edges(mh_source: str) -> str:
     )
 
 
-# token hash for paths that need NO cross-engine oracle parity: one
-# JVM xxhash64 instead of md5 + hex substring + base-16 conv (md5 is
-# the engines' only COMMON hash, so the gate-checked signature queries
-# keep it; the removal lineage's output is verified structurally —
-# components, canonical selection — not by value-hashing the
-# signature, so it takes the fast family)
-_SPARK_X_FAST = f"pmod(xxhash64(sh), {P})"
-
-
 def _fast_shingle_sig_sql(table: str) -> str:
     """Minhash signature for the NO-ORACLE removal lineage with
     shingles fused into the HASH DOMAIN: the 3-token window hashes
@@ -577,19 +568,20 @@ def neardup_drop_ids(corpus: DataFrame, fast_hash: bool = True) -> DataFrame:
     rest. The minhash signature is cached only until cc_two_phase's
     eager checkpoint materialises the edge set, then released.
 
-    ``fast_hash`` (DEFAULT since round 5) selects the xxhash64
-    token-hash family (pure JVM, no md5 hex round-trip). Measured
-    EQUAL at 600 k ~30-token pages (round 4: 23.2 s both — the shingle
-    explode dominates), but on a 300-token/doc corpus (round 5,
-    tools/bench_hash_longdoc.py: 20 k docs, 6 M tokens, warmed
-    interleaved best-of-3) xxhash64 wins 59.4 → 57.2 s best / ~8 % on
-    means — so the standalone removal lineage defaults to it. The
-    oracle-checked signature queries (minhash_signatures, LSH pairs,
-    dedup_clusters) keep the md5 family: it is the only 32-bit hash
-    both engines compute identically. Both are (a·x+b) mod P universal
-    families over a 31-bit token hash — same statistics, different
+    ``fast_hash`` (DEFAULT since round 5) selects the hash-domain
+    FUSED signature (:func:`_fast_shingle_sig_sql`): the 3-token
+    window hashes directly via xxhash64, with no concatenated shingle
+    string, no array_distinct, and an int64 exploded stream. Measured
+    59.1 s → 4.07 s (14.5×) on a 20 k-doc × 300-token corpus and
+    ~11 % on the 600 k-page e2e lineage (tools/bench_hash_longdoc.py,
+    warmed interleaved best-of-3; PLANS.md round 5 — an earlier
+    token-family-only swap measured just ~8 %, the fusion is the
+    win). The oracle-checked signature queries (minhash_signatures,
+    LSH pairs, dedup_clusters) keep the md5 + string form: md5 is the
+    only hash both engines compute identically. Both are (a·x+b)
+    mod P universal families — same statistics, different
     tokens→ints map, so cluster boundaries can differ on borderline
-    pairs (20 k-doc corpus: 6364 vs 6374 drops)."""
+    pairs (20 k-doc corpus: 6364 vs 6370 drops)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 

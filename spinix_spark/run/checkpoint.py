@@ -131,10 +131,13 @@ class ChunkedRunner:
         except Exception:
             return out
         for k in range(self.n_chunks):
+            # skip unreadable AND unparseable manifests — chunk_done
+            # maps both to "not done", so lineage() must not crash on
+            # what the runner itself would simply re-execute
             try:
                 text = hdfs.read_text(sess, self._manifest_path(k))
+                if text is not None:
+                    out.append(json.loads(text))
             except Exception:
                 continue
-            if text is not None:
-                out.append(json.loads(text))
         return out

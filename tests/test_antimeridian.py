@@ -304,6 +304,32 @@ def test_devices_store_near_dateline():
     assert "c" + "0" * 19 not in got  # 11 km away
 
 
+def test_devices_store_near_pole():
+    """Devices.Near with a pole-crossing search disc admits the
+    cross-pole neighbor (polar band widening — the asin-clamped rect
+    alone cannot reach the far-side longitude)."""
+    from spinix_spark.engine.stores import DeviceSnapshot
+
+    store = DeviceSnapshot()
+    store.insert_or_replace(
+        {"device_id": "p" + "0" * 19, "layer_id": LAYER,
+         "lat": 89.9995, "lon": 180.0, "datetime": 1}
+    )
+    got = {d["device_id"] for d in store.near(89.9995, 0.0, 300.0)}
+    assert "p" + "0" * 19 in got  # ~111 m over the pole
+
+
+def test_zones_store_near_pole():
+    from spinix_spark.engine.stores import ZoneStore, zone_from_ring
+    from spinix_spark.geo.rings import circle_ring
+
+    zs = ZoneStore()
+    ring = circle_ring(89.9995, 180.0, 100.0, 6)
+    zs.add(zone_from_ring("q" + "0" * 19, ring, layer_id=LAYER))
+    got = zs.near(LAYER, 89.9995, 0.0, 300.0)
+    assert [z.object_id for z in got] == ["q" + "0" * 19]
+
+
 def test_zones_store_near_dateline():
     """Objects.Near (op #24): query rect overflowing ±180° finds a
     zone registered on the far side (zones never cross the line —

@@ -1,19 +1,22 @@
 #!/usr/bin/env python
-"""Interleaved A/B: md5 vs xxhash64 token-hash family for the near-dup
-removal lineage, on a LONG-document corpus (VERDICT r4 item 6).
+"""Interleaved A/B of the removal lineage's two signature pipelines on
+a LONG-document corpus (VERDICT r4 item 6 → round-5 fusion):
 
-The round-4 measurement (commit 1aa4557) found the two families EQUAL
-at 600 k synthetic pages — but those pages average ~30 tokens, so the
-shingle explode + 16-MIN aggregation dominates and the token hash is
-noise. This harness synthesizes documents with ~300 tokens (~298
-shingles/doc, 10× the pages corpus) so the per-shingle hash cost is a
-first-order term, then times ``neardup_drop_ids`` with each family,
-interleaved (md5, xx, md5, xx, ...) in ONE warmed session so host
-drift hits both arms equally (PLANS.md measurement discipline).
+- arm "md5": the oracle-parity pipeline — concatenated shingle
+  strings, array_distinct, md5 token hash (``fast_hash=False``);
+- arm "xxhash64": the fused hash-domain pipeline —
+  ``xxhash64(w0, w1, w2)`` per window, no shingle strings, no
+  distinct (``fast_hash=True``, the deployment default; measured
+  14.5× here — an earlier token-family-only swap measured just ~8 %,
+  so the FUSION is the win, not the hash).
+
+~300 tokens/doc (~298 shingles, 10× the pages corpus) makes the
+per-shingle cost a first-order term. Arms run interleaved (md5, xx,
+md5, xx, ...) in ONE warmed session so host drift hits both equally
+(PLANS.md measurement discipline).
 
 Usage: python tools/bench_hash_longdoc.py [n_docs] [cpus]
-Prints one JSON line; archive into PLANS.md, flip the
-``fast_hash`` default if xxhash64 wins decisively.
+Prints one JSON line; archive results into PLANS.md.
 """
 
 from __future__ import annotations
