@@ -253,6 +253,45 @@ DUCK_DND_DATELINE = (
 )
 
 
+# --- polar near-pair join vs brute haversine oracle ----------------------
+# The derived points squeezed into the north polar cap: lat mapped to
+# [89.9955, 89.9985] (some search discs CROSS the pole → the polar-cap
+# join key; the rest carry asin-widened column spans up to thousands
+# of cells) and lon fanned across the full circle. The brute haversine
+# oracle is pole-agnostic; agreement proves the cap + per-row-span
+# prefilter admits every true pair in the hardest geometry the grid
+# has (SURVEY §2B.1 at the pole — round-5 headline fix).
+
+_POLAR_LAT = "(89.9955 + (lat - 42.90) * 0.05)"
+_POLAR_LON = "((lon + 72.31) * 4000.0 - 180.0)"
+
+
+def spark_device_near_device_polar(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spinix_spark.engine.joins import near_pairs
+
+    load_tables(spark, sf_dir, ["documents"])
+    pts = spark.sql(
+        f"SELECT doc_id, {_POLAR_LAT} AS lat, {_POLAR_LON} AS lon"
+        f" FROM {_PTS} p"
+    ).withColumn("cell", F.expr(FINE.sql_cell_expr("lat", "lon")))
+    pairs = near_pairs(pts, FINE, NEAR_PAIR_METERS)
+    return pairs.select(
+        "a_id", "b_id", F.expr(round50_sql("dist_m")).alias("dist50_m")
+    )
+
+
+DUCK_DND_POLAR = (
+    f"WITH s AS (SELECT doc_id, {_POLAR_LAT} AS lat, {_POLAR_LON} AS lon"
+    f" FROM {_PTS} p) "
+    f"SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+    + round50_sql(haversine_sql("a.lat", "a.lon", "b.lat", "b.lon"))
+    + " AS dist50_m FROM s a JOIN s b ON a.doc_id < b.doc_id "
+    + f"WHERE {haversine_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')} <= {NEAR_PAIR_METERS!r}"
+)
+
+
 GEO_QUERIES: dict[str, tuple] = {
     "points_derive": _shared(Q_POINTS),
     "cell_assign": _shared(Q_CELL),
@@ -273,5 +312,9 @@ GEO_QUERIES: dict[str, tuple] = {
     "device_near_device_dateline": (
         spark_device_near_device_dateline,
         DUCK_DND_DATELINE,
+    ),
+    "device_near_device_polar": (
+        spark_device_near_device_polar,
+        DUCK_DND_POLAR,
     ),
 }
