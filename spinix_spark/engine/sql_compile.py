@@ -204,13 +204,24 @@ def _verb_table(op: Token, inter: str, within: str) -> str | None:
     return None
 
 
+def _part_mid_lon_sql(part) -> float:
+    lons = [float(p[1]) for p in part]
+    return (min(lons) + max(lons)) / 2.0
+
+
 def _zone_point_pred(zone, op: Token) -> str | None:
     """Per-zone predicate for a POINT device (truth table of
     runtime.go:1313-1333). Component-based like the kernel's
     zone_intersects_point / zone_within_point — covers polygons,
     rects, points, LINES and geometry collections. Returns a boolean
-    SQL expr or None if the zone kind is not expressible."""
-    from spinix_spark.geo.sqlgen import point_on_line_sql
+    SQL expr or None if the zone kind is not expressible.
+
+    Global-geometry parity with the kernel: the point lon is framed
+    by ±360° into each zone part's frame (lon_frame_sql — same CASE
+    arithmetic as runtime.zone_intersects_point's lon_to_frame, exact
+    no-op mid-longitude); circle zones are exact haversine, already
+    wrap/pole-correct."""
+    from spinix_spark.geo.sqlgen import lon_frame_sql, point_on_line_sql
 
     if zone.circle is not None:
         clat, clon, r = zone.circle
@@ -221,14 +232,16 @@ def _zone_point_pred(zone, op: Token) -> str | None:
     for ring in zone.rings:
         inter_terms.append(
             point_in_ring_sql(
-                "lat", "lon", [(float(p[0]), float(p[1])) for p in ring],
+                "lat", lon_frame_sql("lon", repr(_part_mid_lon_sql(ring))),
+                [(float(p[0]), float(p[1])) for p in ring],
                 inclusive=True,
             )
         )
     for line in zone.lines:
         inter_terms.append(
             point_on_line_sql(
-                "lat", "lon", [(float(p[0]), float(p[1])) for p in line]
+                "lat", lon_frame_sql("lon", repr(_part_mid_lon_sql(line))),
+                [(float(p[0]), float(p[1])) for p in line],
             )
         )
     pts = (
@@ -236,14 +249,18 @@ def _zone_point_pred(zone, op: Token) -> str | None:
         if zone.points is not None
         else []
     )
+
+    def _pt_eq(a: float, b: float) -> str:
+        return f"(lat = {a!r} AND {lon_frame_sql('lon', repr(b))} = {b!r})"
+
     for a, b in pts:
-        inter_terms.append(f"(lat = {a!r} AND lon = {b!r})")
+        inter_terms.append(_pt_eq(a, b))
     if not inter_terms:
         return None
     inter = "(" + " OR ".join(inter_terms) + ")"
     # zone_within_point: only a pure point object can be "within" a point
     if zone.kind in ("point", "multiPoint") and pts and not zone.rings and not zone.lines:
-        within = "(" + " AND ".join(f"(lat = {a!r} AND lon = {b!r})" for a, b in pts) + ")"
+        within = "(" + " AND ".join(_pt_eq(a, b) for a, b in pts) + ")"
     else:
         within = "false"
     return _verb_table(op, inter, within)
@@ -277,6 +294,23 @@ def _buffered_zone_pred(
     if n_edges > BUFFER_EDGE_CAP or n_pts > BUFFER_EDGE_CAP:
         return None
     if not zone.rings and not zone.lines and zone.points is None:
+        return None
+    # dateline/polar geometry stays on the kernel path: the HOF ring
+    # predicates here are planar and UNFRAMED (per-row ring vertices vs
+    # constant zone rings), so a zone near ±180° or a pole could
+    # diverge from the wrap-correct kernel. The guard is conservative
+    # (reach-padded) and a no-op for all mid-longitude rules.
+    import math as _math
+
+    from spinix_spark.geo.geodesy import EARTH_RADIUS_M as _R
+
+    _pad = 2.0 * _math.degrees((float(meters) + 1.0) / _R) + 0.1
+    _b = zone.bbox
+    if (
+        float(_b[1]) <= -180.0 + _pad
+        or float(_b[3]) >= 180.0 - _pad
+        or max(abs(float(_b[0])), abs(float(_b[2]))) + _pad >= 84.0
+    ):
         return None
 
     uid = next(_prep_seq)
@@ -346,10 +380,20 @@ def _near_candidate_sql(zone, meters: float) -> str:
     candidacy test of ZoneStore.near / rect_from_center
     (geo/rings.py:rect_from_center), as a SQL expression over the
     row's lat/lon. Same formula: dlat = degrees(r), dlon from the
-    spherical-cap arcsin with the cosine clamp."""
+    spherical-cap arcsin with the cosine clamp.
+
+    Mirrors ZoneStore.near's round-5 global-geometry form: the zone's
+    lon interval is rigidly shifted by ±360° into the row's frame
+    (exact no-op mid-longitude — the shift term is exactly 0.0 when
+    |zone_center_lon - lon| <= 180), and a search disc that crosses a
+    pole admits any zone touching the 2·deg_r polar band (the
+    asin-clamped rect cannot express all-longitudes reach at a pole).
+    Near candidacy is visible semantics for negated verbs, so this
+    must match stores.py:near exactly."""
     import math
 
     from spinix_spark.geo.geodesy import EARTH_RADIUS_M
+    from spinix_spark.geo.sqlgen import lon_frame_sql
 
     b = zone.bbox
     r = float(meters) / EARTH_RADIUS_M
@@ -359,10 +403,22 @@ def _near_candidate_sql(zone, meters: float) -> str:
         f"DEGREES(ASIN(LEAST(GREATEST({sin_r} / "
         f"GREATEST(COS(RADIANS(lat)), 1e-12), -1.0), 1.0)))"
     )
-    return (
+    # per-row ±360° shift of the zone interval into the row's frame
+    # (stores.py:near: dl = lon_to_frame(zone_center, lon) - zone_center)
+    zc = (float(b[1]) + float(b[3])) / 2.0
+    dl = f"({lon_frame_sql(repr(zc), 'lon')} - {zc!r})"
+    base = (
         f"((lat + {dlat}) >= {float(b[0])!r} AND (lat - {dlat}) <= {float(b[2])!r}"
-        f" AND (lon + {dlon}) >= {float(b[1])!r} AND (lon - {dlon}) <= {float(b[3])!r})"
+        f" AND (lon + {dlon}) >= ({float(b[1])!r} + {dl})"
+        f" AND (lon - {dlon}) <= ({float(b[3])!r} + {dl}))"
     )
+    deg_r = math.degrees(r)
+    terms = [base]
+    if float(b[2]) >= 90.0 - 2.0 * deg_r:
+        terms.append(f"((lat + {deg_r!r}) >= 90.0)")
+    if float(b[0]) <= -90.0 + 2.0 * deg_r:
+        terms.append(f"((lat - {deg_r!r}) <= -90.0)")
+    return "(" + " OR ".join(terms) + ")" if len(terms) > 1 else base
 
 
 def _refs_array_sql(pairs: list[tuple[str, str]]) -> str:
@@ -378,10 +434,21 @@ def _candidate_device_pred(engine, rid: str, kind, meters: float, steps: int, op
     """Per-candidate predicate for a POINT target device versus one
     snapshot device (truth table of runtime.go:1662-1700; candidate
     positions are plan-time constants from the broadcast snapshot).
-    Returns (pred_sql, candidate_layer) or None if not expressible."""
+    Returns (pred_sql, candidate_layer) or None if not expressible.
+
+    Global-geometry parity with the kernel (_dd_verb_mask): the row's
+    lon is framed by ±360° into the candidate's frame before the
+    planar ring test (exact no-op mid-longitude), and RADIUS
+    candidates get the geodesic polar override — a pole-crossing
+    candidate circle decides every row by the true spherical disc, and
+    rows sitting exactly on a pole are disc-decided too."""
+    import math
+
     import numpy as np
 
+    from spinix_spark.geo.geodesy import EARTH_RADIUS_M
     from spinix_spark.geo.rings import circle_ring
+    from spinix_spark.geo.sqlgen import lon_frame_sql
 
     other = engine.devices.lookup(rid)
     if other is None:
@@ -390,11 +457,25 @@ def _candidate_device_pred(engine, rid: str, kind, meters: float, steps: int, op
     if kind in (Token.RADIUS, Token.BBOX):
         # fixed ring around a constant point — identical construction
         # to the kernel (same circle_ring call → bit-identical vertices)
-        ring = circle_ring(float(other["lat"]), float(other["lon"]), meters, steps)
+        olat, olon = float(other["lat"]), float(other["lon"])
+        ring = circle_ring(olat, olon, meters, steps)
         pin = point_in_ring_sql(
-            "lat", "lon", [(float(a), float(b)) for a, b in np.asarray(ring)],
+            "lat", lon_frame_sql("lon", repr(olon)),
+            [(float(a), float(b)) for a, b in np.asarray(ring)],
             inclusive=True,
         )
+        if kind is Token.RADIUS and meters > 0.0:
+            # geodesic polar override (runtime.py _dd_verb_mask): for a
+            # point target, polar rows are |lat| >= 90 exactly, or ALL
+            # rows when the candidate circle itself crosses a pole
+            disc = (
+                f"({haversine_sql('lat', 'lon', repr(olat), repr(olon))}"
+                f" <= CAST({meters!r} AS DOUBLE))"
+            )
+            if abs(olat) + math.degrees(meters / EARTH_RADIUS_M) >= 90.0:
+                pin = disc
+            else:
+                pin = f"(CASE WHEN abs(lat) >= 90.0 THEN {disc} ELSE {pin} END)"
     else:
         pin = f"(lat = {float(other['lat'])!r} AND lon = {float(other['lon'])!r})"
     if op in (Token.INTERSECTS, Token.NEAR, Token.IN):

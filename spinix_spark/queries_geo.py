@@ -292,6 +292,63 @@ DUCK_DND_POLAR = (
 )
 
 
+# --- zone join at the dateline / pole (spObjectOp global geometry) -------
+# Round-6 VERDICT item #5: a driver-visible VALUE gate for the zone
+# (spObjectOp) path in global geometry. Zones are hexagons whose rings
+# keep UNNORMALIZED, continuous lons (the engine convention — parts
+# never straddle ±180° internally); the row lon is framed by ±360°
+# into each zone part's frame (geo/sqlgen.lon_frame_sql — the exact
+# CASE arithmetic of the kernel's zone_intersects_point and the
+# compiled _zone_point_pred). Shared SQL text runs on Spark AND
+# DuckDB; the dateline gate's fixtures guarantee matches on BOTH
+# sides of ±180° (pinned by tests/test_registry.py).
+
+from spinix_spark.geo.sqlgen import lon_frame_sql
+
+
+def _framed_pip(ring) -> str:
+    lons = [p[1] for p in ring]
+    mid = (min(lons) + max(lons)) / 2.0
+    return point_in_ring_sql("lat", lon_frame_sql("lon", repr(mid)), ring)
+
+
+DATELINE_ZONES = {
+    f"dlz{i}": [
+        (float(a), float(b))
+        for a, b in circle_ring(42.920 + 0.015 * i, clon, 1200.0, 6)
+    ]
+    for i, clon in enumerate([179.985, 180.0, -179.985, 180.012])
+}
+
+_PTS_DATELINE = (
+    f"(SELECT doc_id, lat, {_LON_SHIFTED} AS lon FROM {_PTS} p)"
+)
+
+Q_ZONE_JOIN_DATELINE = " UNION ALL ".join(
+    f"SELECT doc_id, '{zid}' AS zone_id FROM {_PTS_DATELINE} s WHERE "
+    + _framed_pip(ring)
+    for zid, ring in DATELINE_ZONES.items()
+)
+
+POLAR_ZONES = {
+    f"plz{i}": [
+        (float(a), float(b))
+        for a, b in circle_ring(89.9960 + 0.0008 * i, clon, 250.0, 6)
+    ]
+    for i, clon in enumerate([0.0, 120.0, -120.0])
+}
+
+_PTS_POLAR = (
+    f"(SELECT doc_id, {_POLAR_LAT} AS lat, {_POLAR_LON} AS lon FROM {_PTS} p)"
+)
+
+Q_ZONE_JOIN_POLAR = " UNION ALL ".join(
+    f"SELECT doc_id, '{zid}' AS zone_id FROM {_PTS_POLAR} s WHERE "
+    + _framed_pip(ring)
+    for zid, ring in POLAR_ZONES.items()
+)
+
+
 GEO_QUERIES: dict[str, tuple] = {
     "points_derive": _shared(Q_POINTS),
     "cell_assign": _shared(Q_CELL),
@@ -301,6 +358,8 @@ GEO_QUERIES: dict[str, tuple] = {
     "dist_to_center": _shared(Q_DIST),
     "near_radius": _shared(Q_NEAR),
     "zone_join": _shared(Q_ZONE_JOIN),
+    "zone_join_dateline": _shared(Q_ZONE_JOIN_DATELINE),
+    "zone_join_polar": _shared(Q_ZONE_JOIN_POLAR),
     "rule_composite": _shared(Q_RULE_COMPOSITE),
     "attr_range": _events_shared(Q_ATTR_RANGE),
     "attr_nrange": _events_shared(Q_ATTR_NRANGE),

@@ -556,6 +556,17 @@ def _fast_shingle_sig_sql(table: str) -> str:
     )
 
 
+# Version tag for the near-dup REMOVAL lineage's persisted artifacts
+# (drop sets, filtered corpora). v1 = md5+string shingle family
+# (rounds ≤ 4, fast_hash=False); v2 = xxhash64 hash-domain fused
+# shingles (round 5+ DEFAULT). The two universal-hash families draw
+# different cluster boundaries on borderline pairs (6364 vs 6370
+# drops on a 20 k-doc corpus), so drop sets produced under different
+# versions must not be mixed — stamp this tag on any persisted drop
+# set and refuse cross-version anti-joins.
+NEARDUP_LINEAGE_VERSION = 2
+
+
 def neardup_drop_ids(corpus: DataFrame, fast_hash: bool = True) -> DataFrame:
     """DROP set — the doc_id of every NON-canonical duplicate-cluster
     member — for an arbitrary corpus DataFrame with columns

@@ -23,8 +23,11 @@ write-tmp-then-rename (readers never see a partial manifest).
 from __future__ import annotations
 
 import json
+import logging
 import time
 from collections.abc import Callable
+
+_LOG = logging.getLogger(__name__)
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -60,11 +63,17 @@ class ChunkedRunner:
         # Failure modes here are NOT OSError — hdfs.read_text surfaces
         # FS errors as Py4JJavaError, and _sess() raises when no
         # SparkSession is bound yet — so catch broadly; run() re-raises
-        # real FS errors at write time.
+        # real FS errors at write time. The swallowed exception is
+        # logged so a transient FS outage that reclassifies done chunks
+        # as pending leaves a diagnosable trail (idempotent but costly).
         try:
             text = hdfs.read_text(self._sess(), self._manifest_path(k))
             return text is not None and json.loads(text).get("status") == "done"
-        except Exception:
+        except Exception as exc:
+            _LOG.warning(
+                "chunk_done(%d): treating unreadable manifest %s as pending (%s: %s)",
+                k, self._manifest_path(k), type(exc).__name__, exc,
+            )
             return False
 
     def pending_chunks(self) -> list[int]:
@@ -138,6 +147,10 @@ class ChunkedRunner:
                 text = hdfs.read_text(sess, self._manifest_path(k))
                 if text is not None:
                     out.append(json.loads(text))
-            except Exception:
+            except Exception as exc:
+                _LOG.debug(
+                    "lineage: skipping unreadable manifest %s (%s: %s)",
+                    self._manifest_path(k), type(exc).__name__, exc,
+                )
                 continue
         return out

@@ -158,6 +158,176 @@ def test_at_global_worlds(spark, world):
     assert join == expected, f"join {join} != oracle {expected}"
 
 
+def _world_dateline_refs():
+    """Explicit-refs variant of the dateline world: the rule names the
+    snapshot devices instead of ``@``, so it exercises the Catalyst-
+    compiled _candidate_device_pred path (plan-time-constant candidate
+    rings) — the round-6 ADVICE hole: the compiled path tested raw
+    lons against the candidate ring with no frame shift."""
+    points, snap, _ = _world_dateline()
+    ids = ", ".join(s[0] for s in snap)
+    rule = (
+        f"device NEAR devices({ids}) :radius {int(RADIUS_M)}m"
+        " { :center 10.0 179.99 :radius 50km }"
+    )
+    return points, snap, rule
+
+
+def _world_pole_refs():
+    """Explicit-refs polar world: pole-crossing candidate circles must
+    be decided geodesically on the compiled path too (kernel
+    _dd_verb_mask polar override)."""
+    points, snap, _ = _world_pole()
+    ids = ", ".join(s[0] for s in snap)
+    rule = (
+        f"device NEAR devices({ids}) :radius {int(RADIUS_M)}m"
+        " { :center 89.99 0.0 :radius 50km }"
+    )
+    return points, snap, rule
+
+
+@pytest.mark.parametrize("world", [_world_dateline_refs, _world_pole_refs])
+def test_explicit_refs_global_worlds_sql_vs_kernel(spark, world):
+    """Kernel and compiled-SQL paths must agree with the brute oracle
+    for explicit-refs device rules at the dateline and poles (ADVICE
+    round-6 medium: sql_compile._candidate_device_pred lacked the
+    lon frame + geodesic polar override)."""
+    from spinix_spark.engine.sql_compile import try_compile_rule_sql
+
+    points, snap, rule = world()
+    pts_df, _ = _points_df(spark, points)
+    oracle = _brute_oracle(points, snap)
+    assert any(len(v) >= 2 for v in oracle.values())
+
+    results = {}
+    for prefer_sql in (False, True):
+        eng = Engine()
+        for row in _snap_rows(snap):
+            eng.devices.insert_or_replace(row)
+        r = eng.add_rule(rule, rule_id="r" + "6" * 19)
+        if prefer_sql:
+            # the rule must actually take the compiled path
+            assert try_compile_rule_sql(eng, r) is not None, rule
+        ev, _ = split_output(
+            detect_batch_spark(pts_df, eng, prefer_sql=prefer_sql)
+        )
+        results[prefer_sql] = _events_sets(ev)
+
+    expected = {u: refs for u, refs in oracle.items() if refs}
+    assert results[False] == expected, f"kernel {results[False]} != {expected}"
+    assert results[True] == expected, f"sql {results[True]} != {expected}"
+
+
+# --- spObjectOp (point device vs polygon zones) at the dateline/pole -----
+
+
+ZRAD = 200.0
+# hexagon polygon vs true-disc oracle agree only outside
+# [r·cos(π/6), r] — fixtures must avoid [173.2, 200] m
+ZAMBIG_LO, ZAMBIG_HI = ZRAD * 0.8660, ZRAD
+
+
+def test_zone_rule_dateline_sql_vs_kernel_vs_oracle(spark):
+    """spObjectOp point-vs-polygon across ±180°: the kernel's framed
+    zone PIP (zone_intersects_point + framed _zone_prefilter) and the
+    compiled-SQL zone path (_zone_point_pred with lon_frame_sql) must
+    both match the true-disc oracle; matches must straddle the line in
+    both directions."""
+    from spinix_spark.engine.stores import zone_from_ring
+    from spinix_spark.geo.rings import circle_ring
+
+    zones = {
+        "a1" + "0" * 18: (10.0, -179.9995),  # west-side zone
+        "b1" + "0" * 18: (10.02, 179.9995),  # east-side zone
+    }
+    pts = [
+        ("pe1", 10.0, 179.9996),    # 99 m from zw, ACROSS the line
+        ("pw1", 10.0, -179.9990),   # 55 m from zw, same side
+        ("pf1", 10.0, 179.9975),    # 329 m from zw — outside
+        ("pw2", 10.02, -179.9996),  # 98 m from ze, ACROSS the line
+        ("pe2", 10.02, 179.9991),   # 48 m from ze, same side
+    ]
+    # disc oracle valid: no (point, zone) distance in the ambiguity band
+    oracle: dict[str, tuple] = {}
+    for url, plat, plon in pts:
+        hits = []
+        for zid, (zlat, zlon) in zones.items():
+            d = float(haversine_m(plat, plon, zlat, zlon))
+            assert not (ZAMBIG_LO < d < ZAMBIG_HI), (url, zid, d)
+            if d <= ZRAD:
+                hits.append(zid)
+        oracle[url] = tuple(sorted(hits))
+    assert oracle["pe1"] and oracle["pw2"]  # straddling in BOTH directions
+
+    points = [(u, f"d{i:019d}", la, lo) for i, (u, la, lo) in enumerate(pts)]
+    pts_df, _ = _points_df(spark, points)
+    zone_ids = ", ".join(zones)
+    rule = (
+        f"device INTERSECTS polygon({zone_ids})"
+        " { :center 10.01 179.9995 :radius 50km }"
+    )
+    results = {}
+    for prefer_sql in (False, True):
+        eng = Engine()
+        for zid, (zlat, zlon) in zones.items():
+            eng.zones.add(
+                zone_from_ring(zid, circle_ring(zlat, zlon, ZRAD, 6),
+                               layer_id=LAYER)
+            )
+        r = eng.add_rule(rule, rule_id="r" + "7" * 19)
+        if prefer_sql:
+            from spinix_spark.engine.sql_compile import try_compile_rule_sql
+
+            assert try_compile_rule_sql(eng, r) is not None, rule
+        ev, _ = split_output(
+            detect_batch_spark(pts_df, eng, prefer_sql=prefer_sql)
+        )
+        results[prefer_sql] = _events_sets(ev)
+
+    expected = {u: refs for u, refs in oracle.items() if refs}
+    assert results[False] == expected, f"kernel {results[False]} != {expected}"
+    assert results[True] == expected, f"sql {results[True]} != {expected}"
+
+
+def test_zone_rule_polar_sql_vs_kernel(spark):
+    """spObjectOp point-vs-polygon with a pole-adjacent zone: planar
+    polygon semantics (reference parity — the hexagon at lat 89.996 is
+    heavily lon-distorted, so the oracle is hand-placed memberships,
+    not a disc), kernel and compiled paths bit-agree, and the
+    @-candidacy polar band admits the zone for cap-crossing rows."""
+    from spinix_spark.engine.stores import zone_from_ring
+    from spinix_spark.geo.rings import circle_ring
+
+    zid = "c1" + "0" * 18
+    zlat, zlon = 89.996, 150.0
+    pts = [
+        ("pin", 89.9965, 150.0),    # 55 m north on the center meridian
+        ("pout", 89.9975, -30.0),   # far side of the pole, ~723 m
+        ("pmid", 89.996, 149.0),    # 1° of lon ≈ 7.8 m — inside
+    ]
+    points = [(u, f"e{i:019d}", la, lo) for i, (u, la, lo) in enumerate(pts)]
+    pts_df, _ = _points_df(spark, points)
+    rule = (
+        f"device INTERSECTS polygon({zid})"
+        " { :center 89.996 150.0 :radius 50km }"
+    )
+    results = {}
+    for prefer_sql in (False, True):
+        eng = Engine()
+        eng.zones.add(
+            zone_from_ring(zid, circle_ring(zlat, zlon, ZRAD, 6),
+                           layer_id=LAYER)
+        )
+        eng.add_rule(rule, rule_id="r" + "8" * 19)
+        ev, _ = split_output(
+            detect_batch_spark(pts_df, eng, prefer_sql=prefer_sql)
+        )
+        results[prefer_sql] = _events_sets(ev)
+    expected = {"pin": (zid,), "pmid": (zid,)}
+    assert results[False] == expected, results[False]
+    assert results[True] == expected, results[True]
+
+
 def test_at_dateline_both_sides_match(spark):
     """The VERDICT done-criterion: devices on BOTH sides of ±180° fire,
     with cross-dateline refs in each direction."""
@@ -197,6 +367,16 @@ NEAR_WORLD = [
     # plain mid-lat pair
     (8, 42.0, 7.0000),
     (9, 42.0, 7.0015),
+    # pair STRADDLING the polar band edge (res 9 / 250 m: band starts
+    # at row 17919 ≈ lat 89.19 — one partner keys by grid cell, the
+    # other by (ring, sector); ~111 m apart)
+    (10, 89.1895, 50.0),
+    (11, 89.1905, 50.004),
+    # pair fully INSIDE the band but outside the polar cap (~45 m)
+    (12, 89.5000, -10.0),
+    (13, 89.5004, -10.0),
+    # band-interior non-pair (same ring, far apart in azimuth)
+    (14, 89.5000, 80.0),
 ]
 
 
@@ -219,8 +399,47 @@ def test_near_pairs_global(spark, salted):
     }
     exp = _brute_pairs(ids, lat, lon, radius)
     assert got == exp, f"salted={salted}: {got} != {exp}"
-    # the world must actually exercise all three hard cases
+    # the world must actually exercise all the hard cases
     assert (1, 2) in exp and (3, 4) in exp and (5, 6) in exp
+    assert (10, 11) in exp and (12, 13) in exp  # polar band edge/interior
+
+
+def test_polar_band_key_width_bounded(spark):
+    """Round-6 VERDICT #1 done-criterion: the per-row k-ring key
+    fan-out is BOUNDED near the poles (≤ 100 for the polar gate's
+    parameters) — the pre-round-6 asin-widened column span reached
+    ~50 k keys for rows at lat 89.99+. Also pins that the band is
+    actually active for this (scheme, radius)."""
+    from spinix_spark.engine.joins import _with_neighbor_cells, polar_band_rows
+
+    scheme = GridScheme(res=9)
+    assert polar_band_rows(scheme, 250.0) > 0
+    lats = [0.0, 45.0, 84.5, 88.9, 89.0, 89.18, 89.2, 89.5, 89.9,
+            89.99, 89.995, 89.9985, -89.99, -89.2, -89.9985]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(lats)),
+            "lat": lats,
+            "lon": [(-180.0 + 37.0 * i) % 360.0 - 180.0 for i in range(len(lats))],
+        }
+    )
+    pdf["cell"] = scheme.cell_of(
+        pdf["lat"].to_numpy(), pdf["lon"].to_numpy()
+    )
+    df = spark.createDataFrame(pdf)
+    keyed = _with_neighbor_cells(
+        df.selectExpr("doc_id", "lat as a_lat", "lon as a_lon", "cell"),
+        scheme, "cell", 250.0, lat_col="a_lat",
+    )
+    widths = {
+        r["doc_id"]: r["n"]
+        for r in keyed.groupBy("doc_id").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert max(widths.values()) <= 100, widths
+    # mid-latitude rows keep the exact 3×3 shape (radius < cell size)
+    assert widths[0] == 9, widths
 
 
 # --- grid scheme unit coverage ------------------------------------------

@@ -33,6 +33,40 @@ def test_every_query_has_oracle_or_documented_exception():
     assert not missing, f"queries without a value oracle: {sorted(missing)}"
 
 
+def test_zone_join_dateline_straddles_both_sides():
+    """VERDICT round-6 done-criterion for the zone_join_dateline gate:
+    the match set must include points on BOTH sides of ±180° (east
+    lon > 0 and west lon < 0 after the dateline shift). DuckDB-only —
+    the gate SQL is shared text, and the driver separately verifies
+    Spark == DuckDB values."""
+    import duckdb
+
+    from spinix_spark.queries_geo import (
+        _LON_SHIFTED,
+        _PTS,
+        Q_ZONE_JOIN_DATELINE,
+        Q_ZONE_JOIN_POLAR,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    east, west = con.execute(
+        f"SELECT SUM(CASE WHEN s.lon > 0 THEN 1 ELSE 0 END),"
+        f" SUM(CASE WHEN s.lon < 0 THEN 1 ELSE 0 END)"
+        f" FROM ({Q_ZONE_JOIN_DATELINE}) j JOIN"
+        f" (SELECT doc_id, {_LON_SHIFTED} AS lon FROM {_PTS} p) s"
+        f" USING (doc_id)"
+    ).fetchone()
+    assert east and west, (east, west)
+    (n_polar,) = con.execute(
+        f"SELECT COUNT(*) FROM ({Q_ZONE_JOIN_POLAR})"
+    ).fetchone()
+    assert n_polar > 0
+
+
 def test_rotation_orders_least_recently_sampled_first():
     """The registry prefix (what the driver samples) must lead with
     never-sampled queries, then ascend by last-sampled round — the
