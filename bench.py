@@ -470,6 +470,18 @@ def main() -> None:
         n = timed(name, lambda: qmap[name](spark, sf_dir).count())
         pipe_stats[f"rows_{name}"] = int(n)
 
+    # the deployment-default FUSED minhash path beside the md5 gate
+    # form above (same banding, hash-domain shingles — no oracle can
+    # replay xxhash64 buckets, see queries_text.spark_lsh_pairs_fused)
+    from spinix_spark.queries_text import spark_lsh_pairs_fused
+
+    pipe_stats["rows_minhash_lsh_pairs_fused"] = int(
+        timed(
+            "minhash_lsh_pairs_fused",
+            lambda: spark_lsh_pairs_fused(spark, sf_dir).count(),
+        )
+    )
+
     # hot-cell salted pair join over ~1/10 of the pipeline's pages
     # (the pair count in the hot cell grows quadratically with input)
     pipe_stats.update(

@@ -315,6 +315,27 @@ def spark_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_lsh_pairs_from_salted("mh_sig"))
 
 
+def spark_lsh_pairs_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs over the FUSED hash-domain signatures
+    (xxhash64 3-token windows, :func:`_fast_shingle_sig_sql`) — the
+    deployment-default fast path, benchmarked beside the md5 gate form
+    (bench.py ``minhash_lsh_pairs_fused``). NOT oracle-gated, by
+    necessity: DuckDB computes no xxhash64-compatible hash, and LSH
+    band buckets are hash-family-DEPENDENT on borderline pairs (only
+    identical docs collide family-independently), so no DuckDB SQL can
+    replay this pair set. Correctness rides (a) the md5 gate — the
+    identical banding construction over the portable hash family —
+    and (b) the structural tests that run BOTH families
+    (tests/test_neardup_removal.py). See PLANS.md round-6 note."""
+    load_tables(spark, sf_dir, ["documents"])
+    spark.sql("SELECT doc_id, text FROM documents").createOrReplaceTempView(
+        "_fused_corpus"
+    )
+    return spark.sql(
+        _lsh_pairs_from_salted("(" + _fast_shingle_sig_sql("_fused_corpus") + ")")
+    )
+
+
 def _jaccard_verify_sql(shingles_sql: str, pairs_sql: str) -> str:
     """Exact n-gram Jaccard computed ONLY for LSH candidate pairs —
     the dedup pipeline's verify stage over the FULL table: the shingle
