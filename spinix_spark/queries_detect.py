@@ -509,8 +509,120 @@ DETECT_RANGE_DT_ORACLE = (
     "WHERE datetime >= 1700002800 AND datetime <= 1700035200 ORDER BY doc_id"
 )
 
+# --- spObjectOp at the dateline / pole through the RULE ENGINE -----------
+# Round-6: the zone_join_dateline/zone_join_polar gates verify the
+# shared framed-PIP SQL; these two verify the same geometry through
+# detect_batch_spark — kernel zone predicates (framed
+# zone_intersects_point, framed _zone_prefilter) and the compiled
+# _zone_point_pred — against an independent DuckDB oracle with framed
+# lons (inclusive PIP, matching the kernel's boundary semantics).
+
+_DATELINE_ZONE_IDS = ["e1", "e2", "e3", "e4"]
+_POLAR_ZONE_IDS = ["f1", "f2", "f3"]
+
+
+def _xid(prefix: str) -> str:
+    return prefix + "0" * (20 - len(prefix))
+
+
+def _world_zone_rings(world: str) -> dict[str, list]:
+    from spinix_spark.queries_geo import DATELINE_ZONES, POLAR_ZONES
+
+    if world == "dateline":
+        return {
+            _xid(x): ring
+            for x, ring in zip(_DATELINE_ZONE_IDS, DATELINE_ZONES.values())
+        }
+    return {
+        _xid(x): ring for x, ring in zip(_POLAR_ZONE_IDS, POLAR_ZONES.values())
+    }
+
+
+def _detect_zone_world(
+    spark: SparkSession, sf_dir: str, world: str, rule_id: str
+) -> DataFrame:
+    import numpy as np
+
+    from spinix_spark.queries_geo import _LON_SHIFTED, _POLAR_LAT, _POLAR_LON
+
+    zones = _world_zone_rings(world)
+    engine = Engine()
+    for zid, ring in zones.items():
+        engine.zones.add(zone_from_ring(zid, np.array(ring)))
+    center = "42.9425 180.0" if world == "dateline" else "89.996 0.0"
+    engine.add_rule(
+        f"device INTERSECTS polygon({', '.join(zones)})"
+        f" {{ :center {center} :radius 50km }}",
+        rule_id=rule_id,
+    )
+    pts = _points_as_devices(spark, sf_dir)
+    if world == "dateline":
+        pts = pts.withColumn("lon", F.expr(_LON_SHIFTED))
+    else:
+        # withColumns: both expressions read the ORIGINAL lat/lon row
+        pts = pts.withColumns(
+            {"lat": F.expr(_POLAR_LAT), "lon": F.expr(_POLAR_LON)}
+        )
+    ev, _ = split_output(detect_batch_spark(pts, engine))
+    return (
+        ev.where(F.col("op") == "INTERSECTS")
+        .select(
+            F.regexp_extract("url", r"doc://(\d+)", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.explode("right_refs").alias("zone_id"),
+        )
+        .orderBy("doc_id", "zone_id")
+    )
+
+
+def detect_zone_dateline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op #1 spObjectOp with polygon zones STRADDLING ±180° through
+    the real pipeline (framed kernel/compiled PIP, framed prefilters,
+    framed add_rule expansion)."""
+    return _detect_zone_world(spark, sf_dir, "dateline", "r" + "a" * 19)
+
+
+def detect_zone_polar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op #1 spObjectOp with pole-adjacent polygon zones; the rule's
+    50 km geofence circle CROSSES the pole (pole-aware rule bbox) and
+    the point cloud fans the full longitude circle."""
+    return _detect_zone_world(spark, sf_dir, "polar", "r" + "b" * 19)
+
+
+def _zone_world_oracle(world: str) -> str:
+    from spinix_spark.geo.sqlgen import lon_frame_sql, point_in_ring_sql
+    from spinix_spark.queries_geo import _LON_SHIFTED, _POLAR_LAT, _POLAR_LON
+
+    if world == "dateline":
+        inner = (
+            f"SELECT doc_id, lat, {_LON_SHIFTED} AS lon FROM ({_PSEL}) p"
+        )
+    else:
+        inner = (
+            f"SELECT doc_id, {_POLAR_LAT} AS lat, {_POLAR_LON} AS lon"
+            f" FROM ({_PSEL}) p"
+        )
+    parts = []
+    for zid, ring in _world_zone_rings(world).items():
+        lons = [p[1] for p in ring]
+        mid = (min(lons) + max(lons)) / 2.0
+        parts.append(
+            f"SELECT doc_id, '{zid}' AS zone_id FROM ({inner}) s WHERE "
+            + point_in_ring_sql(
+                "lat", lon_frame_sql("lon", repr(mid)), ring, inclusive=True
+            )
+        )
+    return (
+        "SELECT * FROM (" + " UNION ALL ".join(parts)
+        + ") ORDER BY doc_id, zone_id"
+    )
+
+
 DETECT_QUERIES: dict[str, tuple] = {
     "detect_pipeline": (detect_stateless, DETECT_STATELESS_ORACLE),
+    "detect_zone_dateline": (detect_zone_dateline, _zone_world_oracle("dateline")),
+    "detect_zone_polar": (detect_zone_polar, _zone_world_oracle("polar")),
     "detect_stateful_trigger": (detect_stateful_trigger, DETECT_ONCE_ORACLE),
     "detect_trigger_times": (detect_trigger_times, DETECT_TIMES_ORACLE),
     "detect_trigger_every": (detect_trigger_every, DETECT_EVERY_ORACLE),
