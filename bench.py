@@ -38,6 +38,10 @@ def build_spark(cpus: str, shuffle_partitions: int | None = None):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # progress bars write \r-junk AFTER the final JSON line on some
+        # terminals, pushing it out of the driver's 2000-char stdout
+        # tail — keep stdout clean (round-6 truncation-proofing)
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
 
@@ -557,8 +561,10 @@ def main() -> None:
         print(f"warning: could not write {full_path}: {exc}", file=sys.stderr)
     compact = {k: v for k, v in out.items() if k != "stats"}
     compact["full_json"] = "BENCH/LAST_BENCH.json"
-    print(json.dumps(compact))
     spark.stop()
+    # after stop(): nothing else writes to stdout, so the compact line
+    # is guaranteed to be the LAST thing in the driver's tail capture
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":
