@@ -328,6 +328,55 @@ def test_zone_rule_polar_sql_vs_kernel(spark):
     assert results[True] == expected, results[True]
 
 
+def test_buffered_device_vs_zone_dateline(spark):
+    """BUFFERED devices vs a zone across ±180° (kernel path —
+    COMPILE_BUFFERED is off and the round-6 guard keeps dateline
+    zones off the HOF SQL): ``:radius`` exercises the framed
+    ring-ring intersect (zone_intersects_poly), ``:bbox`` + IN the
+    framed rect containment (zone_within_rect). Distances avoid the
+    polygonized ambiguity band of the 12-gon+hexagon sum
+    ([463, 500] m for 300+200)."""
+    from spinix_spark.engine.stores import zone_from_ring
+    from spinix_spark.geo.rings import circle_ring
+
+    zid = "g1" + "0" * 18
+    zlat, zlon = 10.0, -179.9995
+    pts = [
+        ("bi", 10.0, 179.9985),   # 219 m across the line → intersects
+        ("bo", 10.0, 179.9915),   # 986 m → no
+        ("bs", 10.0, -179.9975),  # 219 m same side → intersects
+    ]
+    points = [(u, f"h{i:019d}", la, lo) for i, (u, la, lo) in enumerate(pts)]
+    pts_df, _ = _points_df(spark, points)
+
+    def run(rule, rid):
+        eng = Engine()
+        eng.zones.add(
+            zone_from_ring(zid, circle_ring(zlat, zlon, 200.0, 6),
+                           layer_id=LAYER)
+        )
+        eng.add_rule(rule, rule_id=rid)
+        ev, _ = split_output(detect_batch_spark(pts_df, eng))
+        return _events_sets(ev)
+
+    got = run(
+        f"device :radius 300m INTERSECTS polygon({zid})"
+        " { :center 10.0 179.9995 :radius 50km }",
+        "r" + "c" * 19,
+    )
+    assert got == {"bi": (zid,), "bs": (zid,)}, got
+
+    # :bbox 600 m rect CONTAINS the framed zone bbox → IN fires across
+    # the line (device rect lon span ±~0.0055°, zone interval framed
+    # to [179.9987, 180.0023])
+    got_in = run(
+        f"device :bbox 600m IN polygon({zid})"
+        " { :center 10.0 179.9995 :radius 50km }",
+        "r" + "d" * 19,
+    )
+    assert got_in == {"bi": (zid,), "bs": (zid,)}, got_in
+
+
 def test_at_dateline_both_sides_match(spark):
     """The VERDICT done-criterion: devices on BOTH sides of ±180° fire,
     with cross-dateline refs in each direction."""
@@ -377,6 +426,13 @@ NEAR_WORLD = [
     (13, 89.5004, -10.0),
     # band-interior non-pair (same ring, far apart in azimuth)
     (14, 89.5000, 80.0),
+    # SOUTH cross-pole pair (~222 m over the south pole — distinct
+    # code path: CAP_SOUTH_KEY / POLAR_SOUTH_BASE)
+    (15, -89.999, 90.0),
+    (16, -89.999, -90.0),
+    # south band-interior pair (~45 m)
+    (17, -89.5000, 120.0),
+    (18, -89.5004, 120.0),
 ]
 
 
@@ -402,6 +458,7 @@ def test_near_pairs_global(spark, salted):
     # the world must actually exercise all the hard cases
     assert (1, 2) in exp and (3, 4) in exp and (5, 6) in exp
     assert (10, 11) in exp and (12, 13) in exp  # polar band edge/interior
+    assert (15, 16) in exp and (17, 18) in exp  # south cap / south band
 
 
 def test_polar_band_key_width_bounded(spark):
