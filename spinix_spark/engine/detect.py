@@ -120,8 +120,16 @@ class Rule:
 
 
 class Engine:
-    def __init__(self, scheme: GridScheme = DEFAULT_SCHEME) -> None:
+    def __init__(
+        self, scheme: GridScheme = DEFAULT_SCHEME, eval_dwell: bool = False
+    ) -> None:
         self.scheme = scheme
+        # opt-in dwell evaluation for ``:time duration|after`` object
+        # suffixes (runtime._apply_dwell). Default False = reference
+        # row parity (the reference only marks such rules stateful,
+        # runtime.go:270-285, and never evaluates the dwell — see
+        # COVERAGE.md parity footnote).
+        self.eval_dwell = eval_dwell
         self.zones = ZoneStore()
         self.devices = DeviceSnapshot()
         self.states = StateStore()
@@ -288,7 +296,9 @@ class Engine:
                 if not mask.any():
                     continue
                 sub = batch.loc[mask].reset_index(drop=True)
-                ok, matches = eval_spec(rule.spec, sub, ref, rid)
+                ok, matches = eval_spec(
+                    rule.spec, sub, ref, rid, eval_dwell=self.eval_dwell
+                )
                 rule_events: list[dict] = []
                 for i in np.nonzero(ok)[0]:
                     row = sub.iloc[i]

@@ -1253,12 +1253,115 @@ def eval_node(node, batch: DeviceBatch, ref: Reference, layer: str) -> NodeResul
 # --- spec evaluation (fold + trigger state, runtime.go:133-236) ----------
 
 
+def _dwell_lit(node) -> ast.ObjectLit | None:
+    """The node's ObjectLit iff it carries a live ``:time duration|
+    after`` suffix on a spatial verb (dwell scope; see _apply_dwell).
+    Comparator ops (EqualObjectOp) keep the reference's stateful-mark-
+    only treatment even under ``eval_dwell``."""
+    if isinstance(node, (SpObjectOp, SpDevicesObjectOp)):
+        lit = node.right
+        if lit.dur_typ in (Token.DURATION, Token.AFTER) and lit.dur_val > 0:
+            return lit
+    return None
+
+
+def spec_has_dwell(spec: CompiledSpec) -> bool:
+    return any(_dwell_lit(n) is not None for n in spec.nodes)
+
+
+def _apply_dwell(
+    spec: CompiledSpec,
+    batch: DeviceBatch,
+    ref: Reference,
+    rule_id: str,
+    node_results: list[NodeResult],
+    layer_ok: np.ndarray,
+    clock,
+) -> None:
+    """Dwell-time gating for ``:time duration|after <dur>`` object
+    suffixes — EXCEEDS the reference: spinix parses the suffix and
+    marks the rule stateful (runtime.go:270-285, parser.go:499) but
+    never calls ``State.LastVisit``/``SetLastVisit`` (state.go:237-247)
+    from any evaluater, so the reference's own behavior is "suffix is
+    a no-op". This engine implements the evaluation the stub implies,
+    opt-in via ``eval_dwell`` so the default keeps reference row
+    parity. Semantics, per (rule, device, node, object):
+
+    - a *visit* opens at the first gated event where the node's
+      spatial predicate holds for that object and CLEARS at the first
+      gated event where it does not (events outside the rule bbox are
+      never observed — same pruning discipline as the trigger fold);
+    - ``duration D`` (level-triggered): the node matches the object at
+      event time t iff the predicate holds and t - first_visit >= D;
+    - ``after D`` (edge-triggered): same threshold, but only the first
+      qualifying event of each visit matches.
+
+    Visit state rides the per-(device, rule) trigger-state dict under
+    ``visits`` ({"<node_idx>:<object_id>": first_visit}; the reference
+    shape is State.objectsVisits, a per-objectID int64 map — the node
+    index is prefixed so two dwell nodes over the same object cannot
+    alias). An ``after`` node that fired stores -first_visit. Dwell
+    state updates on every gated event regardless of the other nodes'
+    outcomes (presence tracking is per node, not per rule result).
+    The fold is sequential in the batch's row order — identical
+    ordering contract to the trigger gate (callers feed (device_id,
+    datetime)-sorted rows); requires real event timestamps.
+    """
+    n = batch.n
+    for j, node in enumerate(spec.nodes):
+        lit = _dwell_lit(node)
+        if lit is None:
+            continue
+        res = node_results[j]
+        refs = res.right_refs
+        dur = float(lit.dur_val)
+        edge = lit.dur_typ is Token.AFTER
+        prefix = f"{j}:"
+        explicit = (
+            [prefix + r for r in lit.refs] if (lit.refs and not lit.all) else None
+        )
+        new_ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            if not layer_ok[i]:
+                continue
+            st = ref.states.lookup_or_make(str(batch.device_id[i]), rule_id)
+            visits = st.get("visits")
+            if not isinstance(visits, dict):
+                visits = st["visits"] = {}
+            now = int(clock(batch, i)) if clock else int(batch.datetime[i])
+            hit_keys = {prefix + o: o for o in (refs[i] if refs is not None else ())}
+            # a miss clears the visit — only keys this node owns
+            universe = (
+                explicit
+                if explicit is not None
+                else [k for k in visits if k.startswith(prefix)]
+            )
+            for k in universe:
+                if k in visits and k not in hit_keys:
+                    del visits[k]
+            ok_objs: list[str] = []
+            for k, obj in hit_keys.items():
+                fv = visits.get(k)
+                if fv is None:
+                    fv = visits[k] = now
+                first = abs(fv)
+                if now - first >= dur and not (edge and fv < 0):
+                    ok_objs.append(obj)
+                    if edge:
+                        visits[k] = -first
+            new_ok[i] = bool(ok_objs)
+            if refs is not None:
+                refs[i] = ok_objs
+        res.ok = new_ok
+
+
 def eval_spec_full(
     spec: CompiledSpec,
     batch_pdf: pd.DataFrame,
     ref: Reference,
     rule_id: str,
     clock=None,
+    eval_dwell: bool = False,
 ):
     """Low-level evaluation: returns
     ``(final_ok, node_results, recorded, gate)`` where ``gate`` is the
@@ -1306,6 +1409,9 @@ def eval_spec_full(
 
     node_results = [eval_node(node, batch, ref, spec.props.layer) for node in spec.nodes]
 
+    if eval_dwell:
+        _apply_dwell(spec, batch, ref, rule_id, node_results, layer_ok, clock)
+
     # left-to-right fold with AND-skip (runtime.go:186-231)
     acc = node_results[0].ok & layer_ok
     recorded = [np.ones(n, dtype=bool)]
@@ -1330,6 +1436,7 @@ def eval_spec(
     ref: Reference,
     rule_id: str,
     clock=None,
+    eval_dwell: bool = False,
 ) -> tuple[np.ndarray, list[list[dict]]]:
     """Evaluate one compiled rule against a batch.
 
@@ -1339,7 +1446,7 @@ def eval_spec(
     (runtime_test.go:196-237).
     """
     final_ok, node_results, recorded, gate = eval_spec_full(
-        spec, batch_pdf, ref, rule_id, clock=clock
+        spec, batch_pdf, ref, rule_id, clock=clock, eval_dwell=eval_dwell
     )
     n = final_ok.shape[0]
     matches: list[list[dict]] = [[] for _ in range(n)]

@@ -26,6 +26,7 @@ Plan shape (SURVEY.md §3.2 Spark equivalent):
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterator
 
 import numpy as np
@@ -43,7 +44,7 @@ from pyspark.sql.types import (
 
 from spinix_spark.dsl.tokens import Token
 from spinix_spark.engine.detect import Engine
-from spinix_spark.engine.runtime import Reference, eval_spec_full
+from spinix_spark.engine.runtime import Reference, eval_spec_full, spec_has_dwell
 from spinix_spark.engine.stores import DeviceSnapshot, StateStore
 from spinix_spark.geo.geodesy import lon_to_frame
 
@@ -64,6 +65,9 @@ OUT_SCHEMA = StructType(
         StructField("last_reset", LongType()),
         StructField("hits", LongType()),
         StructField("now", LongType()),
+        # dwell visit map (JSON string; empty unless eval_dwell rules
+        # ran — see runtime._apply_dwell)
+        StructField("visits", StringType()),
     ]
 )
 
@@ -210,6 +214,7 @@ def _sql_rule_events(points: DataFrame, engine: Engine, rule, plan) -> DataFrame
                 "CAST(0 AS BIGINT) AS last_reset",
                 "CAST(0 AS BIGINT) AS hits",
                 "CAST(0 AS BIGINT) AS now",
+                "CAST('' AS STRING) AS visits",
             )
         )
     out = outs[0]
@@ -317,12 +322,21 @@ def _at_rule_events(
                 "CAST(0 AS BIGINT) AS last_reset",
                 "CAST(0 AS BIGINT) AS hits",
                 "CAST(0 AS BIGINT) AS now",
+                "CAST('' AS STRING) AS visits",
             )
         )
     out = outs[0]
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+def _visits_json(st: dict) -> str:
+    """Deterministic JSON form of a state row's dwell visit map for
+    the DataFrame carry (empty map -> '' keeps pre-dwell rows
+    byte-identical)."""
+    v = st.get("visits")
+    return json.dumps(v, separators=(",", ":"), sort_keys=True) if v else ""
 
 
 def _seed_states_from_column(states: StateStore, pdf: pd.DataFrame) -> None:
@@ -345,6 +359,7 @@ def _seed_states_from_column(states: StateStore, pdf: pd.DataFrame) -> None:
                     "last_reset": int(st["last_reset"]),
                     "hits": int(st["hits"]),
                     "now": int(st["now"]),
+                    "visits": st["visits"] if "visits" in st else "",
                 }
             )
     states.load_if_absent(seed)
@@ -354,9 +369,11 @@ def _join_state_carry(df: DataFrame, state_df: DataFrame) -> DataFrame:
     """Attach prior (device, rule) trigger states to rows as a
     per-device struct array — the fact-scale carry: states ride the
     device_id shuffle, no broadcast, no driver round-trip."""
+    if "visits" not in state_df.columns:
+        state_df = state_df.withColumn("visits", F.lit(""))
     sdf = state_df.groupBy("device_id").agg(
         F.collect_list(
-            F.struct("rule_id", "last_seen", "last_reset", "hits", "now")
+            F.struct("rule_id", "last_seen", "last_reset", "hits", "now", "visits")
         ).alias("_states")
     )
     return df.join(sdf, "device_id", "left")
@@ -500,6 +517,7 @@ def _at_rule_events_stateful(
                             "last_reset": 0,
                             "hits": 0,
                             "now": 0,
+                            "visits": "",
                         }
                     )
                 )
@@ -523,6 +541,7 @@ def _at_rule_events_stateful(
                     "last_reset": [int(s["last_reset"]) for s in snap],
                     "hits": [int(s["hits"]) for s in snap],
                     "now": [int(s["now"]) for s in snap],
+                    "visits": [_visits_json(s) for s in snap],
                 }
             )
 
@@ -597,6 +616,7 @@ def _triggerless_state_rows(
                     "last_reset": [int(s["last_reset"]) for s in snap],
                     "hits": [int(s["hits"]) for s in snap],
                     "now": [int(s["now"]) for s in snap],
+                    "visits": [_visits_json(s) for s in snap],
                 }
             )
 
@@ -680,6 +700,12 @@ def detect_batch_spark(
     at_outs = []
     state_synth_rules = []
     for r in engine.rules.values():
+        if engine.eval_dwell and spec_has_dwell(r.spec):
+            # dwell gating is a sequential per-device fold over the
+            # node's per-object hits — kernel path only (the SQL and
+            # pair-join paths have no visit state)
+            kernel_rules.append(r)
+            continue
         if devices_df is not None and prefer_sql:
             at_node = devices_at_node(r, allow_stateful=True)
             if at_node is not None:
@@ -756,6 +782,7 @@ def detect_batch_spark(
         "snapshot": engine.devices,
         "rules": [(r.rule_id, r.spec, r.bbox) for r in kernel_rules],
         "states": state_rows or [],
+        "eval_dwell": engine.eval_dwell,
     }
     b = sc.broadcast(payload)
 
@@ -771,9 +798,13 @@ def detect_batch_spark(
             # the shuffle as a per-device struct array joined onto the
             # rows — no broadcast, no driver round-trip; the join and
             # the repartition below share the device_id partitioning
+            if "visits" not in state_df.columns:
+                state_df = state_df.withColumn("visits", F.lit(""))
             sdf = state_df.groupBy("device_id").agg(
                 F.collect_list(
-                    F.struct("rule_id", "last_seen", "last_reset", "hits", "now")
+                    F.struct(
+                        "rule_id", "last_seen", "last_reset", "hits", "now", "visits"
+                    )
                 ).alias("_states")
             )
             pruned = pruned.join(sdf, "device_id", "left")
@@ -810,6 +841,7 @@ def detect_batch_spark(
                                 "last_reset": int(st["last_reset"]),
                                 "hits": int(st["hits"]),
                                 "now": int(st["now"]),
+                                "visits": st["visits"] if "visits" in st else "",
                             }
                         )
                 states.load_if_absent(seed)
@@ -833,7 +865,7 @@ def detect_batch_spark(
                     continue
                 sub = pdf.loc[mask].reset_index(drop=True)
                 ok, node_results, recorded, _gate = eval_spec_full(
-                    spec, sub, ref, rule_id
+                    spec, sub, ref, rule_id, eval_dwell=p["eval_dwell"]
                 )
                 if not ok.any():
                     continue
@@ -877,6 +909,7 @@ def detect_batch_spark(
                                 "last_reset": 0,
                                 "hits": 0,
                                 "now": 0,
+                                "visits": "",
                             }
                         )
                     )
@@ -908,6 +941,7 @@ def detect_batch_spark(
                     "last_reset": [int(s["last_reset"]) for s in snap],
                     "hits": [int(s["hits"]) for s in snap],
                     "now": [int(s["now"]) for s in snap],
+                    "visits": [_visits_json(s) for s in snap],
                 }
             )
 
@@ -923,7 +957,11 @@ def merge_state_df(prior: DataFrame, updated: DataFrame) -> DataFrame:
     (device_id, rule_id). One shuffle; nothing touches the driver."""
     from pyspark.sql.window import Window
 
-    cols = ["device_id", "rule_id", "last_seen", "last_reset", "hits", "now"]
+    cols = ["device_id", "rule_id", "last_seen", "last_reset", "hits", "now", "visits"]
+    if "visits" not in prior.columns:
+        prior = prior.withColumn("visits", F.lit(""))
+    if "visits" not in updated.columns:
+        updated = updated.withColumn("visits", F.lit(""))
     allr = prior.select(*cols).withColumn("_prio", F.lit(0)).unionByName(
         updated.select(*cols).withColumn("_prio", F.lit(1))
     )
@@ -948,10 +986,10 @@ def merge_state_rows(prior: list[dict], updated: list[dict]) -> list[dict]:
 
 def split_output(out: DataFrame) -> tuple[DataFrame, DataFrame]:
     events = out.where(F.col("row_type") == "event").drop(
-        "row_type", "last_seen", "last_reset", "hits", "now"
+        "row_type", "last_seen", "last_reset", "hits", "now", "visits"
     )
     states = out.where(F.col("row_type") == "state").select(
-        "device_id", "rule_id", "last_seen", "last_reset", "hits", "now"
+        "device_id", "rule_id", "last_seen", "last_reset", "hits", "now", "visits"
     )
     return events, states
 

@@ -361,7 +361,8 @@ def state_need_reset(st: dict, interval_s: float) -> bool:
 
 
 def state_reset(st: dict) -> None:
-    """State.Reset (state.go:182-186)."""
+    """State.Reset (state.go:182-186) — clears the trigger fields
+    only; dwell ``visits`` (State.objectsVisits) survive a reset."""
     st["last_reset"] = 0
     st["last_seen"] = 0
     st["hits"] = 0
@@ -389,6 +390,10 @@ class StateStore:
             "last_seen": 0,
             "last_reset": 0,
             "hits": 0,
+            # dwell visit map ({"<node>:<object_id>": first_visit},
+            # state.go:237-247 shape) — empty unless eval_dwell rules
+            # run; persisted as a JSON string column
+            "visits": {},
         }
 
     def lookup_or_make(self, device_id: str, rule_id: str) -> dict:
@@ -425,10 +430,23 @@ class StateStore:
     def clear_dirty(self) -> None:
         self._dirty.clear()
 
+    @staticmethod
+    def _norm(r: dict) -> dict:
+        """Copy a state row, decoding the ``visits`` map from its
+        persisted JSON-string form (DataFrame/parquet carry) back to a
+        dict; absent → empty."""
+        r = dict(r)
+        v = r.get("visits")
+        if isinstance(v, str):
+            r["visits"] = json.loads(v) if v else {}
+        elif not isinstance(v, dict):
+            r["visits"] = {}
+        return r
+
     def load(self, rows: list[dict]) -> None:
         """Seed prior-batch states; loading does NOT mark dirty."""
         for r in rows:
-            self._states[(r["device_id"], r["rule_id"])] = dict(r)
+            self._states[(r["device_id"], r["rule_id"])] = self._norm(r)
 
     def load_if_absent(self, rows: list[dict]) -> None:
         """Seed prior states without clobbering keys this task already
@@ -438,4 +456,4 @@ class StateStore:
         for r in rows:
             key = (r["device_id"], r["rule_id"])
             if key not in self._states:
-                self._states[key] = dict(r)
+                self._states[key] = self._norm(r)

@@ -619,6 +619,105 @@ def _zone_world_oracle(world: str) -> str:
     )
 
 
+# --- dwell gates (op exceeds the reference: runtime._apply_dwell) --------
+# ``:time duration|after`` evaluation is flag-gated (Engine(eval_dwell=
+# True)); the reference parses the suffix and marks the rule stateful
+# (runtime.go:270-285) but never calls State.LastVisit/SetLastVisit
+# (state.go:237-247). The gate zone is a rectangle whose east edge sits
+# BETWEEN the derived lon grid points (grid step 1e-5), so no event ever
+# lands exactly on the boundary; it covers the western half of the
+# derived point field (~50% hit rate), giving real visit open/clear
+# churn per device. Two batches with visits-state carry (the second
+# replays the same rows against the carried visit map).
+
+DWELL_ID = "c5vj26evvhfjvfseaumd"
+DWELL_RECT = [
+    (42.90, -72.33),
+    (42.90, -72.270005),
+    (42.97, -72.270005),
+    (42.97, -72.33),
+]
+DWELL_S = 600
+
+
+def _detect_dwell(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    import numpy as np
+
+    engine = Engine(eval_dwell=True)
+    engine.zones.add(zone_from_ring(DWELL_ID, np.array(DWELL_RECT)))
+    engine.add_rule(
+        f"device intersects polygon({DWELL_ID}) :time {kind} {DWELL_S}s"
+        " { :center 42.935 -72.27 :radius 50km }",
+        rule_id="r" + ("6" if kind == "duration" else "7") * 19,
+    )
+    pts = _points_as_devices(spark, sf_dir)
+    ev1, st1 = split_output(detect_batch_spark(pts, engine))
+    st1 = st1.cache()
+    c1 = _event_counts(ev1, 1)
+    ev2, _ = split_output(detect_batch_spark(pts, engine, state_df=st1))
+    c2 = _event_counts(ev2, 2)
+    return c1.unionAll(c2).orderBy("batch", "device_slot")
+
+
+def detect_dwell_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``:time duration 600s`` (level-triggered dwell): an event
+    matches iff the device is in the zone AND its current uninterrupted
+    visit opened >= 600 s ago. Kernel-path sequential fold; visit state
+    carried between the two batches as a JSON map column."""
+    return _detect_dwell(spark, sf_dir, "duration")
+
+
+def detect_dwell_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``:time after 600s`` (edge-triggered dwell): only the FIRST
+    event of each visit past the 600 s threshold matches; the fired
+    mark rides the visit state (sign-encoded first_visit)."""
+    return _detect_dwell(spark, sf_dir, "after")
+
+
+def _dwell_oracle(edge: bool) -> str:
+    """Sequential visit fold unrolled to window SQL: grp = running
+    count of misses (a visit = one maximal hit run), first_visit = the
+    datetime of the group's first-IN-FOLD-ORDER hit row (row_number
+    arg-min — NOT MIN(datetime): batch 2 replays smaller datetimes
+    into a visit carried open across the batch boundary), qual =
+    hit AND t - first_visit >= D; ``after`` additionally keeps only
+    each visit's first qualifying row (running qual count = 1)."""
+    from spinix_spark.geo.sqlgen import point_in_ring_sql
+
+    ring = [(float(a), float(b)) for a, b in DWELL_RECT + DWELL_RECT[:1]]
+    pir = point_in_ring_sql("lat", "lon", ring, inclusive=True)
+    base = (
+        "WITH p AS (SELECT doc_id, CAST(doc_id % 37 AS BIGINT) AS device_slot, "
+        f"lat, lon, datetime, (CASE WHEN {pir} THEN 1 ELSE 0 END) AS hit "
+        f"FROM ({_PSEL}) q0), "
+        "seq AS (SELECT 1 AS batch, * FROM p UNION ALL SELECT 2, * FROM p), "
+        "g AS (SELECT *, SUM(CASE WHEN hit = 0 THEN 1 ELSE 0 END) OVER "
+        "(PARTITION BY device_slot ORDER BY batch, datetime "
+        "ROWS UNBOUNDED PRECEDING) AS grp, "
+        "ROW_NUMBER() OVER (PARTITION BY device_slot ORDER BY batch, datetime) AS rn "
+        "FROM seq), "
+        "v AS (SELECT *, MIN(CASE WHEN hit = 1 THEN rn END) OVER "
+        "(PARTITION BY device_slot, grp) AS frn FROM g), "
+        "v2 AS (SELECT *, MAX(CASE WHEN rn = frn THEN datetime END) OVER "
+        "(PARTITION BY device_slot, grp) AS fv FROM v), "
+        f"q AS (SELECT *, (hit = 1 AND datetime - fv >= {DWELL_S}) AS qual FROM v2)"
+    )
+    tail = (
+        " SELECT CAST(batch AS BIGINT) AS batch, device_slot, "
+        "COUNT(*) AS n_events FROM {src} WHERE {cond} "
+        "GROUP BY batch, device_slot ORDER BY batch, device_slot"
+    )
+    if not edge:
+        return base + tail.format(src="q", cond="qual")
+    return (
+        base
+        + ", e AS (SELECT *, SUM(CASE WHEN qual THEN 1 ELSE 0 END) OVER "
+        "(PARTITION BY device_slot, grp ORDER BY batch, datetime "
+        "ROWS UNBOUNDED PRECEDING) AS qn FROM q)"
+        + tail.format(src="e", cond="qual AND qn = 1")
+    )
+
+
 DETECT_QUERIES: dict[str, tuple] = {
     "detect_pipeline": (detect_stateless, DETECT_STATELESS_ORACLE),
     "detect_zone_dateline": (detect_zone_dateline, _zone_world_oracle("dateline")),
@@ -634,6 +733,8 @@ DETECT_QUERIES: dict[str, tuple] = {
     "detect_dd_membership": (detect_dd_membership, _dd_membership_oracle()),
     "detect_equal_devices": (detect_equal_devices, _equal_devices_oracle()),
     "detect_devices_object": (detect_devices_object, _devices_object_oracle()),
+    "detect_dwell_duration": (detect_dwell_duration, _dwell_oracle(False)),
+    "detect_dwell_after": (detect_dwell_after, _dwell_oracle(True)),
     "detect_range_datetime": (detect_range_datetime, DETECT_RANGE_DT_ORACLE),
     "detect_weekday_eq": (detect_weekday_eq, DETECT_WEEKDAY_ORACLE),
 }
