@@ -155,3 +155,43 @@ def test_spark_matches_driver_fold(spark):
     ev, _ = split_output(detect_batch_spark(spark.createDataFrame(pdf), eng))
     got = sorted((r["device_id"], int(r["datetime"])) for r in ev.collect())
     assert got == expected and len(got) > 0
+
+
+def test_stream_scalable_dwell_state(spark, tmp_path):
+    """Dwell visit state persists across micro-batches through the
+    bucketed state table (stream_detect_scalable): the visit opened in
+    batch 0 qualifies in batch 1, a batch-2 miss clears it and the
+    re-opened visit qualifies again within the batch."""
+    from spinix_spark.streaming.detect_stream import stream_detect_scalable
+
+    batches = [
+        _pdf([(1000, True), (1080, True)]),
+        _pdf([(1120, True)]),
+        _pdf([(1200, False), (1300, True), (1450, True)]),
+    ]
+    src = str(tmp_path / "src")
+    for b in batches:
+        spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    engine = _engine("duration")
+    got: dict[int, list] = {}
+    q = stream_detect_scalable(
+        stream,
+        engine,
+        lambda ev, b: got.__setitem__(b, ev.collect()),
+        work_dir=str(tmp_path / "work"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    times = {b: sorted(int(r["datetime"]) for r in rows) for b, rows in got.items()}
+    assert times == {0: [], 1: [1120], 2: [1450]}
+    # the persisted state table carries the visit anchor between batches
+    from spinix_spark.streaming.state_table import BucketedVersionTable
+
+    state_t = BucketedVersionTable(spark, str(tmp_path / "work" / "state"))
+    rows = state_t.read_latest(2).collect()
+    assert rows and json.loads(rows[0]["visits"]) == {f"0:{ZID}": 1000}
