@@ -128,7 +128,10 @@ def _rule_prune_expr_for(engine: Engine, rule) -> str:
     outcomes (checkTrigger/changeState run BEFORE node evaluation,
     runtime.go:103-163), so dropping a non-matching in-bbox row would
     change which later rows fire — tightening is only event-sound when
-    the gate is constant-true."""
+    the gate is constant-true. Dwell rules under ``eval_dwell`` never
+    tighten either, even at repeat NONE: a non-matching in-bbox row is
+    the event that CLEARS a visit (runtime._apply_dwell), so dropping
+    it would let a stale first_visit anchor qualify later rows."""
     import math
 
     from spinix_spark.dsl import ast_nodes as ast
@@ -136,6 +139,8 @@ def _rule_prune_expr_for(engine: Engine, rule) -> str:
 
     base = _bbox_pred(rule.bbox)
     if rule.spec.props.repeat != ast.REPEAT_NONE:
+        return base
+    if engine.eval_dwell and spec_has_dwell(rule.spec):
         return base
     if any(op is not Token.AND for op in rule.spec.ops):
         return base
