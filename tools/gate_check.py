@@ -5,7 +5,12 @@ same parquet tables, then compares row count, schema (column names) and
 exact values (columns sorted by name, rows sorted by all columns,
 elementwise exact equality — floats compared bit-for-bit via repr).
 Usage:
-    python tools/gate_check.py [sf_dir] [query ...]
+    python tools/gate_check.py [--adversarial] [sf_dir] [query ...]
+
+``--adversarial`` runs the verify recipe's hostile-partitioning
+session (32 shuffle partitions + 17-row Arrow batches): partitioning
+or batch-boundary bugs in stateful folds diverge from the oracle here
+even when the default session passes.
 """
 
 from __future__ import annotations
@@ -37,21 +42,31 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    adversarial = "--adversarial" in args
+    if adversarial:
+        args.remove("--adversarial")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entry
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config(
+            "spark.sql.shuffle.partitions", "32" if adversarial else "8"
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "8g")
         .appName("gate-check")
-        .getOrCreate()
     )
+    if adversarial:
+        builder = builder.config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", "17"
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
