@@ -110,14 +110,28 @@ Q_LANG_ID = (
 
 # --- shingle machinery (dialect-split, shared constants) -----------------
 
-# Spark: 0-based array indexing, transform/sequence, LATERAL VIEW explode
+# Spark: 0-based array indexing, LATERAL VIEW explode over shingle
+# POSITIONS with the shingle string built per exploded row — the
+# higher-order ``transform(sequence(...), i -> concat_ws(...))`` form
+# is NOT whole-stage-codegen (lambda functions evaluate interpreted)
+# and measured 15-25x slower at sf0.1 (round 7, guide §4.1: prefer
+# codegen built-ins). DISTINCT (doc_id, sh) ≡ the old per-doc
+# ``array_distinct`` — identical output set, value-gate-checked.
 _SPARK_SHINGLES = (
-    "SELECT doc_id, sh FROM ("
-    "SELECT doc_id, array_distinct(transform(sequence(0, size(ws) - {w}), "
-    "i -> concat_ws(' ', {spark_elems}))) AS shs "
+    "SELECT DISTINCT doc_id, concat_ws(' ', {spark_elems}) AS sh "
     "FROM (SELECT doc_id, split(text, ' ') AS ws FROM {table} "
-    "WHERE size(split(text, ' ')) >= {w} {extra}) t) s "
-    "LATERAL VIEW explode(shs) es AS sh"
+    "WHERE size(split(text, ' ')) >= {w} {extra}) t "
+    "LATERAL VIEW explode(sequence(0, size(ws) - {w})) ei AS i"
+).format
+
+# No-DISTINCT variant for MIN-based signature building: minhash MINs
+# are duplicate-insensitive, so the per-doc shingle dedup shuffle is
+# pure cost there (the fused xxhash64 path already relied on this).
+_SPARK_SHINGLES_ALL = (
+    "SELECT doc_id, concat_ws(' ', {spark_elems}) AS sh "
+    "FROM (SELECT doc_id, split(text, ' ') AS ws FROM {table} "
+    "WHERE size(split(text, ' ')) >= {w} {extra}) t "
+    "LATERAL VIEW explode(sequence(0, size(ws) - {w})) ei AS i"
 ).format
 # DuckDB: 1-based list indexing, list_transform/generate_series, unnest
 _DUCK_SHINGLES = (
@@ -134,6 +148,14 @@ _DUCK_ELEMS = " || ' ' || ".join(f"ws[i + {k + 1}]" for k in range(SHINGLE_W))
 
 def spark_shingles(extra: str = "", table: str = "documents") -> str:
     return _SPARK_SHINGLES(w=SHINGLE_W, spark_elems=_SPARK_ELEMS, extra=extra, table=table)
+
+
+def spark_shingles_all(extra: str = "", table: str = "documents") -> str:
+    """Shingle stream WITHOUT the per-doc dedup — for MIN-based
+    signature aggregation only (duplicates cannot change a MIN)."""
+    return _SPARK_SHINGLES_ALL(
+        w=SHINGLE_W, spark_elems=_SPARK_ELEMS, extra=extra, table=table
+    )
 
 
 def duck_shingles(extra: str = "", table: str = "documents") -> str:
@@ -185,28 +207,38 @@ _SPARK_EXPLODE_J = f"LATERAL VIEW explode(sequence(0, {N_HASHES - 1})) tj AS j"
 _DUCK_EXPLODE_J = f"CROSS JOIN (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS j) js"
 
 
+def _minhash_sql_wide_noexplode(shingles_sql: str, x_expr: str) -> str:
+    """WIDE minhash (one row per doc, mh0..mh15): the aggregation pass
+    of :func:`_minhash_sql_wide` without the stack-unpivot — the
+    band-bucket SQL consumes this shape directly (round 7), skipping
+    the long form's 16x re-aggregation."""
+    mins = ", ".join(
+        f"MIN(({A[j]} * x + {B[j]}) % {P}) AS mh{j}" for j in range(N_HASHES)
+    )
+    return (
+        f"SELECT doc_id, {mins} FROM "
+        f"(SELECT doc_id, {x_expr} AS x FROM ({shingles_sql}) s) hx "
+        f"GROUP BY doc_id"
+    )
+
+
 def _minhash_sql_wide(shingles_sql: str, x_expr: str) -> str:
     """Spark-side minhash: ONE aggregation pass with 16 MIN exprs over
     the (doc, shingle-hash) rows, then stack-unpivot to the long form —
     avoids multiplying the exploded shingle stream ×N_HASHES (the
     naive long-form plan shuffles 16× the data). Values are identical
     to the long-form oracle."""
-    mins = ", ".join(
-        f"MIN(({A[j]} * x + {B[j]}) % {P}) AS mh{j}" for j in range(N_HASHES)
-    )
     stack_args = ", ".join(
         f"CAST({j} AS BIGINT), mh{j}" for j in range(N_HASHES)
     )
     return (
-        f"WITH s AS ({shingles_sql}), "
-        f"hx AS (SELECT doc_id, {x_expr} AS x FROM s), "
-        f"w AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id) "
+        f"WITH w AS ({_minhash_sql_wide_noexplode(shingles_sql, x_expr)}) "
         f"SELECT doc_id, j, mh FROM w "
         f"LATERAL VIEW stack({N_HASHES}, {stack_args}) t AS j, mh"
     )
 
 
-Q_MINHASH_SPARK = _minhash_sql_wide(spark_shingles(), _SPARK_X)
+Q_MINHASH_SPARK = _minhash_sql_wide(spark_shingles_all(), _SPARK_X)
 Q_MINHASH_DUCK = _minhash_sql(duck_shingles(), _DUCK_X, _DUCK_EXPLODE_J)
 
 
@@ -260,12 +292,25 @@ def _cached_signatures(spark: SparkSession, sf_dir: str, view: str = "mh_sig"):
     """Minhash signatures, computed + cached ONCE per session/sf —
     Spark inlines (re-computes) CTEs per reference, so the LSH
     self-join and the downstream verify queries would otherwise
-    evaluate the shingle pipeline repeatedly. Built FROM the cached
-    shingle stream, so the signature and exact-Jaccard queries share
-    one shingle materialization."""
-    _cached_shingles(spark, sf_dir)
-    sig_sql = _minhash_sql_wide("SELECT doc_id, sh FROM mh_shingles", _SPARK_X)
+    evaluate the shingle pipeline repeatedly. Built from the
+    no-DISTINCT shingle stream directly (round 7): the dedup shuffle
+    the exact-Jaccard queries need is pure cost for MIN aggregation,
+    and the codegen explode form made shingle recompute cheaper than
+    sharing the cached distinct stream."""
+    sig_sql = _minhash_sql_wide(spark_shingles_all(), _SPARK_X)
     return _cached_df(spark, sf_dir, "sig", sig_sql, view)
+
+
+def _cached_signatures_wide(
+    spark: SparkSession, sf_dir: str, view: str = "mh_sig_w"
+):
+    """WIDE md5 minhash signatures (one row per doc), cached once per
+    session/sf — the shape every Spark-side band-bucket construction
+    consumes since round 7 (1/16th the cached rows of the long form;
+    the long ``mh_sig`` view remains for the gate query that OUTPUTS
+    the long shape and for tests)."""
+    sig_sql = _minhash_sql_wide_noexplode(spark_shingles_all(), _SPARK_X)
+    return _cached_df(spark, sf_dir, "sig_w", sig_sql, view)
 
 
 def _cached_shingles(spark: SparkSession, sf_dir: str, view: str = "mh_shingles"):
@@ -311,8 +356,8 @@ def _lsh_pairs_from_salted(mh_source: str, n_salt: int = LSH_SALT) -> str:
 
 
 def spark_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _cached_signatures(spark, sf_dir)
-    return spark.sql(_lsh_pairs_from_salted("mh_sig"))
+    _cached_signatures_wide(spark, sf_dir)
+    return spark.sql(_lsh_pairs_from_salted_wide("mh_sig_w"))
 
 
 def spark_lsh_pairs_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,7 +377,9 @@ def spark_lsh_pairs_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_fused_corpus"
     )
     return spark.sql(
-        _lsh_pairs_from_salted("(" + _fast_shingle_sig_sql("_fused_corpus") + ")")
+        _lsh_pairs_from_salted_wide(
+            "(" + _fast_shingle_sig_wide_sql("_fused_corpus") + ")"
+        )
     )
 
 
@@ -354,10 +401,12 @@ def _jaccard_verify_sql(shingles_sql: str, pairs_sql: str) -> str:
 
 
 def spark_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _cached_signatures(spark, sf_dir)
+    _cached_signatures_wide(spark, sf_dir)
     _cached_shingles(spark, sf_dir)
     return spark.sql(
-        _jaccard_verify_sql("SELECT * FROM mh_shingles", _lsh_pairs_from_salted("mh_sig"))
+        _jaccard_verify_sql(
+            "SELECT * FROM mh_shingles", _lsh_pairs_from_salted_wide("mh_sig_w")
+        )
     )
 
 
@@ -377,11 +426,11 @@ def spark_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_cc_algorithms.py)."""
     from pyspark.sql import functions as F
 
-    _cached_signatures(spark, sf_dir)
+    _cached_signatures_wide(spark, sf_dir)
     # localCheckpoint instead of .cache(): caching the CTE plan trips a
     # Spark 4.x InlineCTE re-resolution bug, and the checkpoint also
     # truncates lineage for the iteration below
-    edges = spark.sql(_lsh_pairs_from_salted("mh_sig"))
+    edges = spark.sql(_lsh_pairs_from_salted_wide("mh_sig_w"))
     labels = cc_two_phase(edges)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
@@ -406,8 +455,8 @@ def spark_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    _cached_signatures(spark, sf_dir)
-    edges = spark.sql(_lsh_pairs_from_salted("mh_sig"))
+    _cached_signatures_wide(spark, sf_dir)
+    edges = spark.sql(_lsh_pairs_from_salted_wide("mh_sig_w"))
     labels = cc_two_phase(edges)
     docs = spark.table("documents").select(
         F.col("doc_id").alias("node"), "n_chars"
@@ -464,8 +513,8 @@ def dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    _cached_signatures(spark, sf_dir)
-    edges = spark.sql(_lsh_pairs_from_salted("mh_sig"))
+    _cached_signatures_wide(spark, sf_dir)
+    edges = spark.sql(_lsh_pairs_from_salted_wide("mh_sig_w"))
     labels = cc_two_phase(edges)
     docs = spark.table("documents")
     member = labels.join(
@@ -558,22 +607,90 @@ def _fast_shingle_sig_sql(table: str) -> str:
     family swap — the structural guarantees are unchanged). The
     gate-checked signature queries keep the string+md5 form: md5 is
     the only hash both engines compute identically."""
-    elems = ", ".join(f"ws[i + {k}]" for k in range(SHINGLE_W))
-    mins = ", ".join(
-        f"MIN(({A[j]} * x + {B[j]}) % {P}) AS mh{j}" for j in range(N_HASHES)
-    )
     stack_args = ", ".join(
         f"CAST({j} AS BIGINT), mh{j}" for j in range(N_HASHES)
     )
     return (
-        f"WITH t AS (SELECT doc_id, split(text, ' ') AS ws FROM {table} "
-        f"WHERE size(split(text, ' ')) >= {SHINGLE_W}), "
-        f"hx AS (SELECT doc_id, pmod(sh, {P}) AS x FROM t "
-        f"LATERAL VIEW explode(transform(sequence(0, size(ws) - {SHINGLE_W}), "
-        f"i -> xxhash64({elems}))) e AS sh), "
-        f"w AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id) "
+        f"WITH w AS ({_fast_shingle_sig_wide_sql(table)}) "
         f"SELECT doc_id, j, mh FROM w "
         f"LATERAL VIEW stack({N_HASHES}, {stack_args}) t2 AS j, mh"
+    )
+
+
+def _fast_shingle_sig_wide_sql(table: str) -> str:
+    """WIDE form of the fused hash-domain signature: one row per doc
+    with columns ``mh0..mh15`` — the natural shape for band-bucket
+    construction (the long form re-aggregates by doc_id immediately,
+    re-shuffling 16x the rows for nothing). The window hash explodes
+    POSITIONS and evaluates ``xxhash64(ws[i], ws[i+1], ws[i+2])`` per
+    exploded row (whole-stage codegen) instead of the interpreted
+    ``transform(sequence(...), i -> ...)`` array build (round 7,
+    guide §4.1) — identical hash multiset, identical MINs."""
+    elems = ", ".join(f"ws[i + {k}]" for k in range(SHINGLE_W))
+    mins = ", ".join(
+        f"MIN(({A[j]} * x + {B[j]}) % {P}) AS mh{j}" for j in range(N_HASHES)
+    )
+    return (
+        f"SELECT doc_id, {mins} FROM ("
+        f"SELECT doc_id, pmod(xxhash64({elems}), {P}) AS x "
+        f"FROM (SELECT doc_id, split(text, ' ') AS ws FROM {table} "
+        f"WHERE size(split(text, ' ')) >= {SHINGLE_W}) t "
+        f"LATERAL VIEW explode(sequence(0, size(ws) - {SHINGLE_W})) e AS i"
+        f") hx GROUP BY doc_id"
+    )
+
+
+def _wide_band_rows(wide_source: str) -> str:
+    """(doc_id, band, m0..m3) band rows from a WIDE signature source —
+    one ``stack`` per row, NO re-aggregation, and the bucket stays a
+    4-tuple of BIGINTs (numeric join/group keys) instead of a
+    concatenated string. Tuple equality ≡ the string form's equality
+    (',' is unambiguous between integers), so every pair/edge set is
+    identical to the long-form construction."""
+    rows_per_band = N_HASHES // BANDS
+    stack_args = ", ".join(
+        f"CAST({b} AS BIGINT), "
+        + ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        for b in range(BANDS)
+    )
+    mcols = ", ".join(f"m{r}" for r in range(rows_per_band))
+    return (
+        f"SELECT doc_id, band, {mcols} FROM {wide_source} "
+        f"LATERAL VIEW stack({BANDS}, {stack_args}) tb AS band, {mcols}"
+    )
+
+
+def _lsh_star_edges_wide(wide_source: str) -> str:
+    """STAR edges per LSH band-bucket over a WIDE signature source —
+    same edge set as :func:`_lsh_star_edges` (value-equal buckets, see
+    :func:`_wide_band_rows`), minus the 16x long-form re-aggregation
+    shuffle."""
+    rows_per_band = N_HASHES // BANDS
+    mcols = [f"m{r}" for r in range(rows_per_band)]
+    on = " AND ".join(f"bk.{c} = mn.{c}" for c in ["band", *mcols])
+    return (
+        f"WITH bk AS ({_wide_band_rows(wide_source)}), "
+        f"mn AS (SELECT band, {', '.join(mcols)}, MIN(doc_id) AS a_id "
+        f"FROM bk GROUP BY band, {', '.join(mcols)}) "
+        f"SELECT DISTINCT mn.a_id, bk.doc_id AS b_id FROM bk "
+        f"JOIN mn ON {on} WHERE bk.doc_id <> mn.a_id"
+    )
+
+
+def _lsh_pairs_from_salted_wide(wide_source: str, n_salt: int = LSH_SALT) -> str:
+    """Salted band-bucket pair join over a WIDE signature source —
+    same pair set as :func:`_lsh_pairs_from_salted` (numeric-tuple
+    buckets, see :func:`_wide_band_rows`)."""
+    rows_per_band = N_HASHES // BANDS
+    mcols = [f"m{r}" for r in range(rows_per_band)]
+    on = " AND ".join(f"a.{c} = b.{c}" for c in ["band", *mcols, "sb"])
+    return (
+        f"WITH bk AS ({_wide_band_rows(wide_source)}), "
+        f"ba AS (SELECT *, pmod(xxhash64(doc_id), {n_salt}) AS sb FROM bk), "
+        f"bb AS (SELECT bk.*, s AS sb FROM bk "
+        f"LATERAL VIEW explode(sequence(0, {n_salt - 1})) t AS s) "
+        "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM ba a "
+        f"JOIN bb b ON {on} AND a.doc_id < b.doc_id"
     )
 
 
@@ -619,13 +736,21 @@ def neardup_drop_ids(corpus: DataFrame, fast_hash: bool = True) -> DataFrame:
 
     spark = corpus.sparkSession
     corpus.select("doc_id", "text").createOrReplaceTempView("_nd_corpus")
-    sig = spark.sql(
-        _fast_shingle_sig_sql("_nd_corpus")
-        if fast_hash
-        else _minhash_sql_wide(spark_shingles(table="_nd_corpus"), _SPARK_X)
-    ).cache()
-    sig.createOrReplaceTempView("_nd_sig")
-    labels = cc_two_phase(spark.sql(_lsh_star_edges("_nd_sig")))
+    # WIDE signatures (one row per doc, mh0..mh15): the long form's
+    # stack-explode + band-bucket re-aggregation shuffled 16x the rows
+    # for nothing (round 7) — the band rows now come straight off the
+    # wide row, and the cache holds 1/16th the rows
+    if fast_hash:
+        sig = spark.sql(_fast_shingle_sig_wide_sql("_nd_corpus")).cache()
+        sig.createOrReplaceTempView("_nd_sig")
+        edges = spark.sql(_lsh_star_edges_wide("_nd_sig"))
+    else:
+        sig = spark.sql(
+            _minhash_sql_wide(spark_shingles(table="_nd_corpus"), _SPARK_X)
+        ).cache()
+        sig.createOrReplaceTempView("_nd_sig")
+        edges = spark.sql(_lsh_star_edges("_nd_sig"))
+    labels = cc_two_phase(edges)
     sig.unpersist()  # labels are checkpoint-backed past the edge set
     member = labels.join(
         corpus.select(F.col("doc_id").alias("node"), "n_chars"), "node"
@@ -638,6 +763,51 @@ def neardup_drop_ids(corpus: DataFrame, fast_hash: bool = True) -> DataFrame:
         .where(F.col("_rn") > 1)
         .select(F.col("node").alias("doc_id"))
     )
+
+
+def _is_star_fixpoint(df: DataFrame) -> bool:
+    """True iff the edge set ``df`` (columns u, v) is stable under a
+    Large-Star/Small-Star round: the edges form depth-1 stars oriented
+    to their component minimum — (a) no node appears on both sides
+    (no chains), (b) every u has a single distinct v (no multi-parent
+    nodes), (c) every edge points down (v < u). (a)+(b) make each
+    component exactly one star; (c) makes each root the component
+    minimum; a min-rooted star set is a one_round fixpoint, and every
+    fixpoint has this shape. ONE small aggregation job over the
+    checkpointed edge set — replaces the confirming round-pair
+    (~5 shuffles + checkpoint) the old signature-equality scheme
+    needed after convergence (round 7, the BENCH/BASELINE.md
+    F ≈ 20 s per-job fixed-cost analysis)."""
+    from pyspark.sql import functions as F
+
+    nodes = df.selectExpr(
+        "u AS n", "true AS is_u", "false AS is_v", "v AS vv",
+        "CAST(v >= u AS INT) AS badord",
+    ).unionAll(
+        # IF(false, v, NULL): a typed NULL matching the node-id column
+        # (ids may be strings — test_cc_algorithms pins that)
+        df.selectExpr(
+            "v AS n", "false AS is_u", "true AS is_v",
+            "IF(false, v, NULL) AS vv", "0 AS badord",
+        )
+    )
+    row = (
+        nodes.groupBy("n")
+        .agg(
+            F.max("is_u").alias("hu"),
+            F.max("is_v").alias("hv"),
+            F.min("vv").alias("vmin"),
+            F.max("vv").alias("vmax"),
+            F.max("badord").alias("bo"),
+        )
+        .selectExpr(
+            "max(CASE WHEN hu AND hv THEN 1 ELSE 0 END) AS chain",
+            "max(CASE WHEN hu AND vmin <> vmax THEN 1 ELSE 0 END) AS multi",
+            "max(bo) AS badord",
+        )
+        .collect()[0]
+    )
+    return not any(((row.chain or 0), (row.multi or 0), (row.badord or 0)))
 
 
 def cc_two_phase(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
@@ -653,15 +823,17 @@ def cc_two_phase(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     Large-Star(u): connect every strictly-larger neighbor of u to
     m = min(Γ(u) ∪ {u}). Small-Star(u): orient edges toward the
     smaller endpoint, connect every smaller neighbor (and u) to the
-    minimum. Fixpoint (star edge set stable under a round) is detected
-    with an order-independent signature; exhaustion raises loudly.
-
-    The signature (count, bit_xor(xxhash64)) rides the round's
-    checkpoint job as an ``observe`` metric — ONE Spark job per round,
-    not two; the per-round fixed cost is what bounds the composed
-    removal lineage's scaling efficiency at small inputs (BENCH/
-    BASELINE.md round-4 analysis)."""
-    from pyspark.sql import Observation
+    minimum. Fixpoint is detected STRUCTURALLY after each checkpointed
+    round-pair (:func:`_is_star_fixpoint` — one small aggregation job)
+    instead of re-running a full round-pair until an order-independent
+    signature repeats: the old scheme paid ~5 shuffles + a checkpoint
+    to confirm a set it had already produced, which was most of the
+    loop's fixed cost at small inputs (BENCH/BASELINE.md F ≈ 20 s
+    analysis; the final label set is identical — both stop at the same
+    deterministic fixpoint). The input edge set is also checked before
+    round 1: LSH star edges are frequently already min-rooted stars
+    (exact-duplicate clusters collapse every band to one bucket), and
+    then the loop body never runs. Exhaustion raises loudly."""
     from pyspark.sql import functions as F
 
     def one_round(df):
@@ -696,34 +868,18 @@ def cc_two_phase(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_sig = None
-    converged = False
     # TWO Large/Small rounds fuse into one checkpoint job: per-job
     # fixed cost (driver planning, codegen, job latency, checkpoint
     # commit) is what bounds small-input scaling (BENCH/BASELINE.md
     # round-4 F ≈ 15-30 s analysis), and the star set shrinks
     # monotonically so convergence detection at stride 2 costs at most
     # one extra (tiny, converged) round of work.
-    for rnd in range(0, max_rounds, 2):
-        # order-independent set signature (bit_xor won't overflow ANSI
-        # long arithmetic the way sum(xxhash64) does), observed during
-        # the eager checkpoint's materialization job
-        obs = Observation(f"cc_sig_{rnd}")
-        small = (
-            one_round(one_round(cur))
-            .observe(
-                obs,
-                F.count(F.lit(1)).alias("c"),
-                F.bit_xor(F.xxhash64("u", "v")).alias("s"),
-            )
-            .localCheckpoint(eager=True)  # truncate lineage per job
-        )
-        cur = small
-        sig = (obs.get["c"], obs.get["s"])
-        if sig == prev_sig:
-            converged = True
+    converged = _is_star_fixpoint(cur)
+    for _rnd in range(0, max_rounds, 2):
+        if converged:
             break
-        prev_sig = sig
+        cur = one_round(one_round(cur)).localCheckpoint(eager=True)
+        converged = _is_star_fixpoint(cur)
     if not converged:
         raise RuntimeError(
             f"cc_two_phase did not reach a fixpoint in {max_rounds} rounds"
