@@ -45,6 +45,35 @@ def _spark_dot(vec_col: str, arr_sql: str) -> str:
     )
 
 
+# Spark-side EXPLICIT left-fold chains (round 7): higher-order
+# aggregate/zip_with lambdas are evaluated INTERPRETED (they never
+# enter whole-stage codegen — guide §4.1), which made every dot
+# product cost thousands of boxed lambda calls per row. A plain
+# arithmetic chain ``0.0 + x0*y0 + x1*y1 + ...`` parses
+# left-associative, i.e. the IDENTICAL IEEE-754 addition order as the
+# aggregate fold seeded with 0.0 — bit-identical sums, full codegen.
+def _spark_dot_lit(vec_col: str, vals) -> str:
+    """vec_col · literal vector as a codegen chain (same fold order as
+    :func:`_spark_dot` over :func:`_spark_arr`)."""
+    terms = " + ".join(
+        f"CAST({vec_col}[{i}] AS DOUBLE) * CAST({v!r} AS DOUBLE)"
+        for i, v in enumerate(vals)
+    )
+    return f"(CAST(0.0 AS DOUBLE) + {terms})"
+
+
+def _spark_dot_cols(a_col: str, b_col: str, cast_b: bool = True) -> str:
+    """a_col · b_col (two array columns, fixed DIM) as a codegen
+    chain — same fold order as the zip_with/aggregate form."""
+    yb = (lambda i: f"CAST({b_col}[{i}] AS DOUBLE)") if cast_b else (
+        lambda i: f"{b_col}[{i}]"
+    )
+    terms = " + ".join(
+        f"CAST({a_col}[{i}] AS DOUBLE) * {yb(i)}" for i in range(DIM)
+    )
+    return f"(CAST(0.0 AS DOUBLE) + {terms})"
+
+
 def _duck_dot(vec_col: str, arr_sql: str) -> str:
     # list_reduce folds left; seed the fold with an explicit leading 0.0
     # so the reduction order matches Spark's aggregate exactly
@@ -56,10 +85,13 @@ def _duck_dot(vec_col: str, arr_sql: str) -> str:
 
 
 def _spark_norm(vec_col: str) -> str:
-    return (
-        f"SQRT(aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
-        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    """‖vec_col‖ as a codegen chain — identical fold order to the old
+    ``aggregate(vec, 0.0, (acc, x) -> acc + x*x)`` form."""
+    terms = " + ".join(
+        f"CAST({vec_col}[{i}] AS DOUBLE) * CAST({vec_col}[{i}] AS DOUBLE)"
+        for i in range(DIM)
     )
+    return f"SQRT(CAST(0.0 AS DOUBLE) + {terms})"
 
 
 def _duck_norm(vec_col: str) -> str:
@@ -74,7 +106,7 @@ _QNORM = sum(v * v for v in QVEC) ** 0.5
 
 
 def _cos_spark(vec_col: str) -> str:
-    return f"({_spark_dot(vec_col, _spark_arr(QVEC))} / ({_spark_norm(vec_col)} * {_QNORM!r}))"
+    return f"({_spark_dot_lit(vec_col, QVEC)} / ({_spark_norm(vec_col)} * {_QNORM!r}))"
 
 
 def _cos_duck(vec_col: str) -> str:
@@ -139,9 +171,7 @@ Q_LSH_DUCK = (
 
 def _pair_cos(spark_side: bool) -> str:
     dot = (
-        "aggregate(zip_with(a.embedding, b.embedding, "
-        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        _spark_dot_cols("a.embedding", "b.embedding")
         if spark_side
         else (
             f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {DIM}), "
@@ -208,6 +238,13 @@ def _dot_py(a: list[float], b: list[float]) -> float:
 
 
 def _ivf_dots(spark_side: bool, vec_col: str) -> str:
+    # NOTE (round 7): the 16-centroid trees deliberately KEEP the
+    # higher-order aggregate form — expanding them to explicit 64-term
+    # chains (16x2 copies under array_position/array_max) produced a
+    # ~4000-node expression whose Catalyst planning/codegen cost
+    # doubled the query (measured); the small single-vector dots below
+    # are chains, the bulk per-row assignment work lives in NumPy
+    # (_assign_cells) instead.
     mk = _spark_dot if spark_side else _duck_dot
     arr = _spark_arr if spark_side else _duck_arr
     dots = ", ".join(mk(vec_col, arr(c)) for c in CENTROIDS)
@@ -276,6 +313,54 @@ def _l2_cell_expr_for(cents: list[list[float]], vec_col: str) -> str:
     return f"array_position(array({adj}), array_max(array({adj})))"
 
 
+def _assign_cells(embeddings: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """(vec_id, embedding, cell, nrm): nearest-centroid assignment (and
+    the vector norm) computed batch-wise in NumPy via ``mapInPandas``
+    (guide §4.2) with the same left-fold IEEE-754 addition order and
+    first-max tie-break as the SQL ``_l2_cell_expr_for`` — BIT-IDENTICAL
+    cells/norms. Rationale (round 7, measured): the 16-centroid x
+    64-term SQL tree appears twice under array_position/array_max, and
+    Catalyst planning + interpreted higher-order-function evaluation of
+    that ~4000-node expression dominated the recall harness; a NumPy
+    fold (vectorized across rows, sequential across dims = the exact
+    fold order) does the same work in microseconds per batch."""
+    import numpy as np
+    import pandas as pd
+
+    C = [list(map(float, c)) for c in cents]
+    halves = [_dot_py(c, c) / 2.0 for c in cents]
+
+    def assign(batches):
+        Ca = np.asarray(C, dtype=np.float64)
+        ha = np.asarray(halves, dtype=np.float64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            n, d = X.shape
+            adj = np.empty((n, Ca.shape[0]), dtype=np.float64)
+            for k in range(Ca.shape[0]):
+                acc = np.zeros(n, dtype=np.float64)
+                for i in range(d):
+                    acc += X[:, i] * Ca[k, i]
+                adj[:, k] = acc - ha[k]
+            nrm = np.zeros(n, dtype=np.float64)
+            for i in range(d):
+                nrm += X[:, i] * X[:, i]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cell": (np.argmax(adj, axis=1) + 1).astype(np.int32),
+                    "nrm": np.sqrt(nrm),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, embedding array<double>, cell int, nrm double"
+    )
+
+
 def ivf_train(
     embeddings: DataFrame, nlist: int = NLIST, iters: int = 3
 ) -> list[list[float]]:
@@ -291,10 +376,7 @@ def ivf_train(
     init = embeddings.orderBy("vec_id").limit(nlist).collect()
     cents = [[float(x) for x in r.embedding] for r in init]
     for _ in range(iters):
-        assigned = embeddings.selectExpr(
-            f"CAST({_l2_cell_expr_for(cents, 'embedding')} AS INT) AS cell",
-            "embedding",
-        )
+        assigned = _assign_cells(embeddings, cents).select("cell", "embedding")
         rows = (
             assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
             .groupBy("cell", "pos")
@@ -356,11 +438,7 @@ def ann_recall_stats(
     load_tables(spark, sf_dir, ["embeddings"])
     emb = spark.table("embeddings")
     cents = ivf_train(emb, NLIST, iters)
-    assigned = emb.selectExpr(
-        "vec_id",
-        "embedding",
-        f"CAST({_l2_cell_expr_for(cents, 'embedding')} AS INT) AS cell",
-    )
+    assigned = _assign_cells(emb, cents)
 
     def cell_rank(qv: list[float]) -> list[int]:
         adj = [_dot_py(qv, c) - _dot_py(c, c) / 2.0 for c in cents]
@@ -380,11 +458,9 @@ def ann_recall_stats(
     )
     # per-(query, vector) score: dot/‖x‖ ranks identically to cosine
     # for a fixed query (the query norm is a per-query constant)
-    score = (
-        "aggregate(zip_with(embedding, q_vec, "
-        "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
-        f"(acc, v) -> acc + v) / {_spark_norm('embedding')}"
-    )
+    # norm precomputed bit-exactly in _assign_cells; the q_vec dot is a
+    # codegen chain (same fold order as the old zip_with/aggregate)
+    score = f"{_spark_dot_cols('embedding', 'q_vec', cast_b=False)} / nrm"
     scored = (
         assigned.crossJoin(F.broadcast(qdf))
         .selectExpr("q_id", "vec_id", "cell", "cell_rank", f"{score} AS s")
@@ -398,18 +474,31 @@ def ann_recall_stats(
         .cache()
     )
     n_gt = gt.count()  # materialize both caches once
-    out: dict[str, float] = {}
-    for np_ in nprobes:
-        cand = scored.where(
-            F.array_contains(F.slice("cell_rank", 1, np_), F.col("cell"))
-        )
-        ivf = (
-            cand.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= topk)
-            .select("q_id", "vec_id")
-        )
-        hits = ivf.join(gt, ["q_id", "vec_id"]).count()
-        out[f"recall{topk}_nprobe{np_}"] = round(hits / n_gt, 4)
+    # ONE job for every NPROBE level (round 7): the candidate sets
+    # nest (np=1 ⊂ np=2 ⊂ ...), so explode the level list, filter each
+    # row to the levels whose probe window contains its cell, and rank
+    # within (q_id, level) — identical per-level top-k sets to the old
+    # per-level loop, which paid a window + join + count job PER level
+    # (job-count, not compute, dominated this harness).
+    wl = Window.partitionBy("q_id", "np_").orderBy(
+        F.col("s").desc(), F.col("vec_id")
+    )
+    cand = scored.select(
+        "*", F.explode(F.array(*[F.lit(p) for p in nprobes])).alias("np_")
+    ).where(F.array_contains(F.slice("cell_rank", F.lit(1), F.col("np_")), F.col("cell")))
+    hits_rows = (
+        cand.withColumn("_rn", F.row_number().over(wl))
+        .where(F.col("_rn") <= topk)
+        .join(gt, ["q_id", "vec_id"])
+        .groupBy("np_")
+        .agg(F.count(F.lit(1)).alias("h"))
+        .collect()
+    )
+    hits_by_level = {int(r.np_): int(r.h) for r in hits_rows}
+    out = {
+        f"recall{topk}_nprobe{np_}": round(hits_by_level.get(np_, 0) / n_gt, 4)
+        for np_ in nprobes
+    }
     scored.unpersist()
     gt.unpersist()
     return out
