@@ -668,11 +668,14 @@ def _lsh_star_edges_wide(wide_source: str) -> str:
     rows_per_band = N_HASHES // BANDS
     mcols = [f"m{r}" for r in range(rows_per_band)]
     on = " AND ".join(f"bk.{c} = mn.{c}" for c in ["band", *mcols])
+    # NO DISTINCT here: this form feeds cc_two_phase, whose own initial
+    # ``.distinct()`` dedups in the same checkpoint job — a DISTINCT
+    # here would be a second full exchange over the edge stream
     return (
         f"WITH bk AS ({_wide_band_rows(wide_source)}), "
         f"mn AS (SELECT band, {', '.join(mcols)}, MIN(doc_id) AS a_id "
         f"FROM bk GROUP BY band, {', '.join(mcols)}) "
-        f"SELECT DISTINCT mn.a_id, bk.doc_id AS b_id FROM bk "
+        f"SELECT mn.a_id, bk.doc_id AS b_id FROM bk "
         f"JOIN mn ON {on} WHERE bk.doc_id <> mn.a_id"
     )
 
@@ -836,8 +839,15 @@ def cc_two_phase(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     then the loop body never runs. Exhaustion raises loudly."""
     from pyspark.sql import functions as F
 
-    def one_round(df):
-        """Large-Star then Small-Star as a LAZY plan over ``df``."""
+    def one_round(df, dedup: bool = True):
+        """Large-Star then Small-Star as a LAZY plan over ``df``.
+
+        ``dedup=False`` skips the trailing DISTINCT: Large/Small-Star
+        operate on edge SETS (grouped MINs and equi-joins are
+        duplicate-insensitive up to output multiplicity), so when the
+        output feeds straight into another round whose own DISTINCT
+        runs anyway, the inner dedup is one whole exchange of pure
+        cost (round 7)."""
         # LARGE-STAR over the symmetric closure
         sym = df.unionAll(df.selectExpr("v AS u", "u AS v"))
         mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
@@ -853,14 +863,14 @@ def cc_two_phase(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
             "greatest(u, v) AS u", "least(u, v) AS v"
         ).where("u <> v")
         m2 = o.groupBy("u").agg(F.min("v").alias("m"))
-        return (
+        out = (
             o.join(m2, "u")
             .where("v <> m")
             .selectExpr("v AS u", "m AS v")
             .unionAll(m2.selectExpr("u", "m AS v"))
             .where("u <> v")
-            .distinct()
         )
+        return out.distinct() if dedup else out
 
     cur = (
         edges.selectExpr("a_id AS u", "b_id AS v")
@@ -874,22 +884,25 @@ def cc_two_phase(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     # round-4 F ≈ 15-30 s analysis), and the star set shrinks
     # monotonically so convergence detection at stride 2 costs at most
     # one extra (tiny, converged) round of work.
-    converged = _is_star_fixpoint(cur)
+    # No fixpoint check on the INPUT: both edge sources orient pairs
+    # upward (a_id < b_id / bucket-min first), and a fixpoint requires
+    # downward edges (v < u), so the input check could never pass —
+    # it would be one wasted job per call.
+    converged = False
     for _rnd in range(0, max_rounds, 2):
-        if converged:
+        cur = one_round(one_round(cur, dedup=False)).localCheckpoint(eager=True)
+        if _is_star_fixpoint(cur):
+            converged = True
             break
-        cur = one_round(one_round(cur)).localCheckpoint(eager=True)
-        converged = _is_star_fixpoint(cur)
     if not converged:
         raise RuntimeError(
             f"cc_two_phase did not reach a fixpoint in {max_rounds} rounds"
         )
-    # fixpoint: every edge is (node, component-min); roots label themselves
-    return (
-        cur.selectExpr("u AS node", "v AS label")
-        .unionAll(cur.selectExpr("v AS node", "v AS label"))
-        .distinct()
-    )
+    # fixpoint: every edge is (node, component-min) with UNIQUE u
+    # (fixpoint condition (b)), so only the root self-labels need a
+    # distinct — over ~n_clusters rows, not the whole label set
+    roots = cur.selectExpr("v AS node", "v AS label").distinct()
+    return cur.selectExpr("u AS node", "v AS label").unionAll(roots)
 
 
 def min_label_propagation(
