@@ -680,6 +680,24 @@ def _lsh_star_edges_wide(wide_source: str) -> str:
     )
 
 
+def _lsh_star_edges_wide_window(wide_source: str) -> str:
+    """STAR edges via a WINDOW min per band-bucket instead of the
+    groupBy + self-join of :func:`_lsh_star_edges_wide`: the signature
+    source is referenced ONCE, so the whole sig → band rows → bucket
+    min → edges chain runs as a single lineage with one exchange —
+    no signature cache materialization, no join (round 7; used by the
+    removal pipeline where the signature has no other consumer).
+    Identical edge set: MIN over the same bucket grouping."""
+    rows_per_band = N_HASHES // BANDS
+    mcols = ", ".join(f"m{r}" for r in range(rows_per_band))
+    return (
+        f"SELECT a_id, b_id FROM ("
+        f"SELECT MIN(doc_id) OVER (PARTITION BY band, {mcols}) AS a_id, "
+        f"doc_id AS b_id FROM ({_wide_band_rows(wide_source)}) bk) e "
+        f"WHERE b_id <> a_id"
+    )
+
+
 def _lsh_pairs_from_salted_wide(wide_source: str, n_salt: int = LSH_SALT) -> str:
     """Salted band-bucket pair join over a WIDE signature source —
     same pair set as :func:`_lsh_pairs_from_salted` (numeric-tuple
@@ -739,22 +757,24 @@ def neardup_drop_ids(corpus: DataFrame, fast_hash: bool = True) -> DataFrame:
 
     spark = corpus.sparkSession
     corpus.select("doc_id", "text").createOrReplaceTempView("_nd_corpus")
-    # WIDE signatures (one row per doc, mh0..mh15): the long form's
-    # stack-explode + band-bucket re-aggregation shuffled 16x the rows
-    # for nothing (round 7) — the band rows now come straight off the
-    # wide row, and the cache holds 1/16th the rows
+    # WIDE signatures (one row per doc, mh0..mh15) consumed ONCE by a
+    # window-min star-edge construction: the long form's stack-explode
+    # + band-bucket re-aggregation shuffled 16x the rows, and the
+    # groupBy+join form needed the signature cached (two references).
+    # The fused sig → band rows → window-min lineage runs as one job
+    # straight into cc_two_phase's dedup checkpoint (round 7).
     if fast_hash:
-        sig = spark.sql(_fast_shingle_sig_wide_sql("_nd_corpus")).cache()
-        sig.createOrReplaceTempView("_nd_sig")
-        edges = spark.sql(_lsh_star_edges_wide("_nd_sig"))
+        edges = spark.sql(
+            _lsh_star_edges_wide_window(
+                "(" + _fast_shingle_sig_wide_sql("_nd_corpus") + ")"
+            )
+        )
     else:
-        sig = spark.sql(
-            _minhash_sql_wide(spark_shingles(table="_nd_corpus"), _SPARK_X)
-        ).cache()
-        sig.createOrReplaceTempView("_nd_sig")
-        edges = spark.sql(_lsh_star_edges("_nd_sig"))
+        sig_sql = _minhash_sql_wide_noexplode(
+            spark_shingles_all(table="_nd_corpus"), _SPARK_X
+        )
+        edges = spark.sql(_lsh_star_edges_wide_window("(" + sig_sql + ")"))
     labels = cc_two_phase(edges)
-    sig.unpersist()  # labels are checkpoint-backed past the edge set
     member = labels.join(
         corpus.select(F.col("doc_id").alias("node"), "n_chars"), "node"
     )
