@@ -45,23 +45,16 @@ def _spark_dot(vec_col: str, arr_sql: str) -> str:
     )
 
 
-# Spark-side EXPLICIT left-fold chains (round 7): higher-order
-# aggregate/zip_with lambdas are evaluated INTERPRETED (they never
-# enter whole-stage codegen — guide §4.1), which made every dot
-# product cost thousands of boxed lambda calls per row. A plain
-# arithmetic chain ``0.0 + x0*y0 + x1*y1 + ...`` parses
-# left-associative, i.e. the IDENTICAL IEEE-754 addition order as the
-# aggregate fold seeded with 0.0 — bit-identical sums, full codegen.
-def _spark_dot_lit(vec_col: str, vals) -> str:
-    """vec_col · literal vector as a codegen chain (same fold order as
-    :func:`_spark_dot` over :func:`_spark_arr`)."""
-    terms = " + ".join(
-        f"CAST({vec_col}[{i}] AS DOUBLE) * CAST({v!r} AS DOUBLE)"
-        for i, v in enumerate(vals)
-    )
-    return f"(CAST(0.0 AS DOUBLE) + {terms})"
-
-
+# Explicit left-fold chain (round 7): higher-order aggregate/zip_with
+# lambdas evaluate INTERPRETED (no whole-stage codegen — guide §4.1).
+# A plain arithmetic chain ``0.0 + x0*y0 + ...`` parses
+# left-associative — the IDENTICAL IEEE-754 addition order as the
+# aggregate fold seeded with 0.0, so sums are bit-identical — and
+# compiles. Worth it ONLY where one plan evaluates many rows (the
+# recall harness's 40k-row scored pass); for the tiny gate queries the
+# extra codegen compile time exceeds the interpretation saved
+# (measured: ann_brute_topk 0.4s -> 2.0s with chains), so those keep
+# the HOF form.
 def _spark_dot_cols(a_col: str, b_col: str, cast_b: bool = True) -> str:
     """a_col · b_col (two array columns, fixed DIM) as a codegen
     chain — same fold order as the zip_with/aggregate form."""
@@ -85,13 +78,10 @@ def _duck_dot(vec_col: str, arr_sql: str) -> str:
 
 
 def _spark_norm(vec_col: str) -> str:
-    """‖vec_col‖ as a codegen chain — identical fold order to the old
-    ``aggregate(vec, 0.0, (acc, x) -> acc + x*x)`` form."""
-    terms = " + ".join(
-        f"CAST({vec_col}[{i}] AS DOUBLE) * CAST({vec_col}[{i}] AS DOUBLE)"
-        for i in range(DIM)
+    return (
+        f"SQRT(aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
     )
-    return f"SQRT(CAST(0.0 AS DOUBLE) + {terms})"
 
 
 def _duck_norm(vec_col: str) -> str:
@@ -106,7 +96,7 @@ _QNORM = sum(v * v for v in QVEC) ** 0.5
 
 
 def _cos_spark(vec_col: str) -> str:
-    return f"({_spark_dot_lit(vec_col, QVEC)} / ({_spark_norm(vec_col)} * {_QNORM!r}))"
+    return f"({_spark_dot(vec_col, _spark_arr(QVEC))} / ({_spark_norm(vec_col)} * {_QNORM!r}))"
 
 
 def _cos_duck(vec_col: str) -> str:
@@ -171,7 +161,9 @@ Q_LSH_DUCK = (
 
 def _pair_cos(spark_side: bool) -> str:
     dot = (
-        _spark_dot_cols("a.embedding", "b.embedding")
+        "aggregate(zip_with(a.embedding, b.embedding, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         if spark_side
         else (
             f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {DIM}), "
