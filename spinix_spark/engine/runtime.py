@@ -1276,7 +1276,6 @@ def _apply_dwell(
     rule_id: str,
     node_results: list[NodeResult],
     layer_ok: np.ndarray,
-    clock,
 ) -> None:
     """Dwell-time gating for ``:time duration|after <dur>`` object
     suffixes — EXCEEDS the reference: spinix parses the suffix and
@@ -1300,7 +1299,9 @@ def _apply_dwell(
     ``visits`` ({"<node_idx>:<object_id>": first_visit}; the reference
     shape is State.objectsVisits, a per-objectID int64 map — the node
     index is prefixed so two dwell nodes over the same object cannot
-    alias). An ``after`` node that fired stores -first_visit. Dwell
+    alias). An ``after`` node that fired stores -(first_visit + 1) —
+    sign-safe for visits opened at unix ts 0, where a bare -first
+    would alias 0 and lose the mark (ADVICE r6). Dwell
     state updates on every gated event regardless of the other nodes'
     outcomes (presence tracking is per node, not per rule result).
     The fold is sequential in the batch's row order — identical
@@ -1328,7 +1329,12 @@ def _apply_dwell(
             visits = st.get("visits")
             if not isinstance(visits, dict):
                 visits = st["visits"] = {}
-            now = int(clock(batch, i)) if clock else int(batch.datetime[i])
+            # dwell timing is ALWAYS event time: a caller-supplied
+            # trigger clock (e.g. wall clock) gives every row of a
+            # batch the same `now`, so visits would never accumulate
+            # event-time within a batch (ADVICE r6); the trigger gate
+            # keeps its own clock semantics (fold below)
+            now = int(batch.datetime[i])
             hit_keys = {prefix + o: o for o in (refs[i] if refs is not None else ())}
             # a miss clears the visit — only keys this node owns
             universe = (
@@ -1344,11 +1350,13 @@ def _apply_dwell(
                 fv = visits.get(k)
                 if fv is None:
                     fv = visits[k] = now
-                first = abs(fv)
+                # fired mark = -(first+1): sign-safe when a visit opens
+                # at unix ts 0 (-0 == 0 lost the mark — ADVICE r6)
+                first = (-fv - 1) if fv < 0 else fv
                 if now - first >= dur and not (edge and fv < 0):
                     ok_objs.append(obj)
                     if edge:
-                        visits[k] = -first
+                        visits[k] = -(first + 1)
             new_ok[i] = bool(ok_objs)
             if refs is not None:
                 refs[i] = ok_objs
@@ -1410,7 +1418,7 @@ def eval_spec_full(
     node_results = [eval_node(node, batch, ref, spec.props.layer) for node in spec.nodes]
 
     if eval_dwell:
-        _apply_dwell(spec, batch, ref, rule_id, node_results, layer_ok, clock)
+        _apply_dwell(spec, batch, ref, rule_id, node_results, layer_ok)
 
     # left-to-right fold with AND-skip (runtime.go:186-231)
     acc = node_results[0].ok & layer_ok

@@ -361,8 +361,20 @@ def state_need_reset(st: dict, interval_s: float) -> bool:
 
 
 def state_reset(st: dict) -> None:
-    """State.Reset (state.go:182-186) — clears the trigger fields
-    only; dwell ``visits`` (State.objectsVisits) survive a reset."""
+    """State.Reset (state.go:182-186) — clears the trigger fields.
+
+    DELIBERATE DIVERGENCE from the reference (documented per ADVICE
+    r6): the reference's Reset() also clears ``objectsVisits``
+    (state.go:184), but the reference never *reads* visits (the dwell
+    suffix is a write-only stub there), so its clear is unobservable.
+    In this engine dwell evaluation is a real opt-in op, and
+    ``state_need_reset`` fires on EVERY gated row when no ``:reset``
+    interval is configured (interval 0 → always reset, state.go:201) —
+    clearing visits there would wipe every dwell clock per event and
+    make the operator vacuous. Visits therefore survive a trigger
+    reset: the ``:reset`` interval governs the TRIGGER fields, visit
+    lifetime is governed by presence (a miss row clears the visit).
+    Pinned by tests/test_dwell.py::test_dwell_survives_trigger_reset."""
     st["last_reset"] = 0
     st["last_seen"] = 0
     st["hits"] = 0

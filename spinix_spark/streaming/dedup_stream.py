@@ -45,8 +45,8 @@ from spinix_spark.queries_text import (
     _SPARK_X,
     BANDS,
     N_HASHES,
-    _minhash_sql_wide,
-    spark_shingles,
+    _minhash_sql_wide_noexplode,
+    spark_shingles_all,
 )
 from spinix_spark.streaming.state_table import BucketedVersionTable
 
@@ -60,17 +60,26 @@ def batch_band_buckets(docs: DataFrame, bands: int = BANDS) -> DataFrame:
     spark = docs.sparkSession
     docs.select("doc_id", "text").createOrReplaceTempView(BANDS_VIEW)
     rows_per_band = N_HASHES // bands
-    sig = _minhash_sql_wide(spark_shingles(table=BANDS_VIEW), _SPARK_X)
-    bucket_cols = ", ".join(
-        f"CAST(MIN(CASE WHEN j % {rows_per_band} = {r} THEN mh END) AS STRING)"
-        for r in range(rows_per_band)
+    # WIDE signature + per-row band stack (round 7): the long form
+    # stack-exploded to 16 rows per doc only to re-aggregate them back
+    # by (doc, band); the bkey STRINGS are byte-identical (same
+    # CONCAT_WS layout), so persisted bucket state is unaffected.
+    sig = _minhash_sql_wide_noexplode(
+        spark_shingles_all(table=BANDS_VIEW), _SPARK_X
+    )
+    stack_args = ", ".join(
+        f"CAST({b} AS BIGINT), CONCAT_WS(',', "
+        + ", ".join(
+            f"CAST(mh{b * rows_per_band + r} AS STRING)"
+            for r in range(rows_per_band)
+        )
+        + ")"
+        for b in range(bands)
     )
     return spark.sql(
         f"SELECT doc_id, CONCAT_WS(':', CAST(band AS STRING), bucket) AS bkey "
-        f"FROM (SELECT doc_id, "
-        f"CAST(FLOOR(j / {float(rows_per_band)!r}) AS BIGINT) AS band, "
-        f"CONCAT_WS(',', {bucket_cols}) AS bucket FROM ({sig}) s "
-        f"GROUP BY doc_id, CAST(FLOOR(j / {float(rows_per_band)!r}) AS BIGINT)) b"
+        f"FROM (SELECT doc_id, band, bucket FROM ({sig}) w "
+        f"LATERAL VIEW stack({bands}, {stack_args}) t AS band, bucket) b"
     )
 
 

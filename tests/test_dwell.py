@@ -113,7 +113,8 @@ def test_state_rows_carry_visits():
     engine = _engine("after")
     engine.detect_batch(_pdf(SEQ[:3]))  # open visit, fired at 1120
     st = engine.states.lookup_or_make("d" + "0" * 19, "r" + "d" * 19)
-    assert st["visits"] == {f"0:{ZID}": -1000}  # fired -> sign-encoded
+    # fired -> sign-encoded as -(first+1), sign-safe at epoch 0
+    assert st["visits"] == {f"0:{ZID}": -1001}
 
 
 @pytest.mark.parametrize("kind,expect2", [("duration", [1500, 1700]), ("after", [])])
@@ -131,12 +132,12 @@ def test_spark_state_carry(spark, kind, expect2):
     assert len(srows) == 1
     visits = json.loads(srows[0]["visits"])
     fired = kind == "after"
-    assert visits == {f"0:{ZID}": -1000 if fired else 1000}
+    assert visits == {f"0:{ZID}": -1001 if fired else 1000}
     ev2, st2 = split_output(detect_batch_spark(b2, engine, state_df=st1))
     assert sorted(int(r["datetime"]) for r in ev2.collect()) == expect2
     # the carried-forward state keeps the (possibly fired) anchor
     visits2 = json.loads(st2.collect()[0]["visits"])
-    assert visits2 == {f"0:{ZID}": -1000 if fired else 1000}
+    assert visits2 == {f"0:{ZID}": -1001 if fired else 1000}
 
 
 def test_spark_matches_driver_fold(spark):
@@ -195,3 +196,34 @@ def test_stream_scalable_dwell_state(spark, tmp_path):
     state_t = BucketedVersionTable(spark, str(tmp_path / "work" / "state"))
     rows = state_t.read_latest(2).collect()
     assert rows and json.loads(rows[0]["visits"]) == {f"0:{ZID}": 1000}
+
+
+def test_after_epoch_zero_fired_mark():
+    """A visit OPENED at unix ts 0 must still record the ``after``
+    fired mark (ADVICE r6: the old sign-encoding stored -first, and
+    -0 == 0 lost the mark, re-firing every later qualifying event).
+    The mark is now stored as -(first+1)."""
+    seq = [(0, True), (50, True), (120, True), (180, True)]
+    assert _event_times(_engine("after"), _pdf(seq)) == [120]
+
+
+def test_dwell_survives_trigger_reset():
+    """Pinned divergence (stores.state_reset docstring, ADVICE r6):
+    a ``:reset`` interval clears the TRIGGER fields only — the dwell
+    visit clock survives, so the event still fires once the visit age
+    crosses the threshold even though resets occurred in between.
+    (The reference's Reset() clears objectsVisits, but the reference
+    never reads them; clearing here would wipe every dwell clock on
+    each gated row whenever no :reset is configured, since a zero
+    interval means always-reset.)"""
+    engine = Engine(eval_dwell=True)
+    engine.zones.add(zone_from_ring(ZID, RING))
+    engine.add_rule(
+        f"device intersects polygon({ZID}) :time duration 100s"
+        " { :center 10.0 10.0 :radius 200km :trigger every 1s"
+        " :reset after 50s }",
+        rule_id="r" + "d" * 19,
+    )
+    # resets occur between the events (50 s interval < 100 s gap), yet
+    # the visit opened at t=1000 still qualifies at t=1100
+    assert _event_times(engine, _pdf([(1000, True), (1100, True)])) == [1100]
