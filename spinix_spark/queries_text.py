@@ -313,12 +313,6 @@ def _cached_signatures_wide(
     return _cached_df(spark, sf_dir, "sig_w", sig_sql, view)
 
 
-def _cached_shingles(spark: SparkSession, sf_dir: str, view: str = "mh_shingles"):
-    """The exploded (doc_id, shingle) stream, cached for the exact-
-    Jaccard verify join (consumed twice as the a/b sides)."""
-    return _cached_df(spark, sf_dir, "shingles", spark_shingles(), view)
-
-
 def _cached_shingle_arrays(
     spark: SparkSession, sf_dir: str, view: str = "mh_shingle_arr"
 ):
@@ -908,12 +902,16 @@ def cc_two_phase(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
         output feeds straight into another round whose own DISTINCT
         runs anyway, the inner dedup is one whole exchange of pure
         cost (round 7)."""
-        # LARGE-STAR over the symmetric closure
+        # LARGE-STAR over the symmetric closure. The per-node-min side
+        # carries one row per node, so both joins take a SHUFFLE_HASH
+        # hint (round 7): the default sort-merge pays two sorts per
+        # join on data this shape never needs sorted, and the hash
+        # relation (node -> min) is a few MB per partition.
         sym = df.unionAll(df.selectExpr("v AS u", "u AS v"))
         mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
         mins = mins.withColumn("m", F.least("_mn", F.col("u"))).drop("_mn")
         large = (
-            sym.join(mins, "u")
+            sym.join(mins.hint("shuffle_hash"), "u")
             .where("v > u")
             .selectExpr("v AS u", "m AS v")
             .where("u <> v")
@@ -924,7 +922,7 @@ def cc_two_phase(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
         ).where("u <> v")
         m2 = o.groupBy("u").agg(F.min("v").alias("m"))
         out = (
-            o.join(m2, "u")
+            o.join(m2.hint("shuffle_hash"), "u")
             .where("v <> m")
             .selectExpr("v AS u", "m AS v")
             .unionAll(m2.selectExpr("u", "m AS v"))
