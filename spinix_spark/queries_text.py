@@ -894,38 +894,57 @@ def cc_two_phase(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     from pyspark.sql import functions as F
 
     def one_round(df, dedup: bool = True):
-        """Large-Star then Small-Star as a LAZY plan over ``df``.
+        """Large-Star then Small-Star as a LAZY plan over ``df``,
+        written so that every intermediate is referenced EXACTLY ONCE
+        (round 7). The textbook groupBy-min + join formulation
+        references each stream 2-3x (self-union, agg+join diamonds);
+        DataFrame re-reference copies the logical subtree, so two
+        fused rounds compounded to a ~400-operator / 118-Exchange
+        plan whose Catalyst planning + per-stage AQE re-optimization
+        dominated the round's 8.8 s wall at 482k edges (execution
+        itself reuses exchanges; PLANNING doesn't dedup). Here:
 
-        ``dedup=False`` skips the trailing DISTINCT: Large/Small-Star
-        operate on edge SETS (grouped MINs and equi-joins are
-        duplicate-insensitive up to output multiplicity), so when the
-        output feeds straight into another round whose own DISTINCT
-        runs anyway, the inner dedup is one whole exchange of pure
-        cost (round 7)."""
-        # LARGE-STAR over the symmetric closure. The per-node-min side
-        # carries one row per node, so both joins take a SHUFFLE_HASH
-        # hint (round 7): the default sort-merge pays two sorts per
-        # join on data this shape never needs sorted, and the hash
-        # relation (node -> min) is a few MB per partition.
-        sym = df.unionAll(df.selectExpr("v AS u", "u AS v"))
-        mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
-        mins = mins.withColumn("m", F.least("_mn", F.col("u"))).drop("_mn")
-        large = (
-            sym.join(mins.hint("shuffle_hash"), "u")
-            .where("v > u")
-            .selectExpr("v AS u", "m AS v")
-            .where("u <> v")
+        - the symmetric closure is one ``inline`` explode, not a
+          self-union;
+        - each star's per-node minimum is a WINDOW MIN instead of a
+          grouped-min joined back (same exchange count, one
+          reference);
+        - Small-Star's (root -> min) rows are emitted per input row
+          via ``inline`` (the set is unchanged; the extra multiplicity
+          is swallowed by the trailing DISTINCT, so ``dedup=False`` —
+          used for the inner round of a fused pair — just defers it).
+
+        Output SET identical to the classic formulation: Large-Star
+        emits {(v, m_u) : (u,v) ∈ sym, v > u, v ≠ m_u} with
+        m_u = min(Γ(u) ∪ {u}); Small-Star over the down-oriented
+        edges emits {(v, m_u) : v ≠ m_u} ∪ {(u, m_u)} per group —
+        per-row emission produces exactly these elements (with
+        repeats), never new ones."""
+        from pyspark.sql.window import Window
+
+        w_u = Window.partitionBy("u")
+        sym = df.selectExpr(
+            "inline(array(named_struct('u', u, 'v', v), "
+            "named_struct('u', v, 'v', u)))"
         )
-        # SMALL-STAR on edges oriented toward the smaller endpoint
+        large = (
+            sym.withColumn("m", F.least(F.min("v").over(w_u), F.col("u")))
+            .where("v > u AND v <> m")
+            .selectExpr("v AS u", "m AS v")
+        )
         o = large.selectExpr(
             "greatest(u, v) AS u", "least(u, v) AS v"
         ).where("u <> v")
-        m2 = o.groupBy("u").agg(F.min("v").alias("m"))
         out = (
-            o.join(m2.hint("shuffle_hash"), "u")
-            .where("v <> m")
-            .selectExpr("v AS u", "m AS v")
-            .unionAll(m2.selectExpr("u", "m AS v"))
+            o.withColumn("m", F.min("v").over(w_u))
+            .selectExpr(
+                # (v, m) for non-root members + (u, m) for the root —
+                # the root row repeats per group row; DISTINCT dedups
+                "inline(CASE WHEN v <> m THEN "
+                "array(named_struct('u', v, 'v', m), "
+                "named_struct('u', u, 'v', m)) "
+                "ELSE array(named_struct('u', u, 'v', m)) END)"
+            )
             .where("u <> v")
         )
         return out.distinct() if dedup else out
