@@ -949,10 +949,14 @@ def cc_two_phase(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
         )
         return out.distinct() if dedup else out
 
+    # NO initial distinct (round 7): the rounds are set-preserving over
+    # multisets and the first round-pair ends in its own DISTINCT, so
+    # deduping the input edge stream here was one full exchange whose
+    # work the first round re-did anyway (the star-edge SQL therefore
+    # also emits duplicates freely — e.g. the same pair via two bands).
     cur = (
         edges.selectExpr("a_id AS u", "b_id AS v")
         .where("u <> v")
-        .distinct()
         .localCheckpoint(eager=True)
     )
     # TWO Large/Small rounds fuse into one checkpoint job: per-job
